@@ -49,36 +49,66 @@ _FAM_NONE, _FAM_SPHERE, _FAM_RECT, _FAM_TRI, _FAM_VOL = -1, 0, 1, 2, 3
 
 
 def _closest_hit(scene: SceneData, static: SceneStatic, o, d, time,
-                 seed, ray_id, depth, cfg: RenderConfig):
-    """4-family closest hit. Returns (t, fam, idx) per ray."""
+                 seed, ray_id, depth, cfg: RenderConfig,
+                 geom_axis: str | None = None):
+    """4-family closest hit. Returns (t, fam, idx) per ray.
+
+    With `geom_axis` set (inside a shard_map), the sphere/triangle tables
+    are device-sharded slices: local winners carry globalized indices and
+    the cross-device winner is found by an all-gather + min over the axis —
+    the renderer's tensor-parallel reduction.
+    """
     B = o.shape[0]
     t_best = jnp.full((B,), _INF)
     fam = jnp.full((B,), _FAM_NONE, jnp.int32)
     idx = jnp.zeros((B,), jnp.int32)
 
-    def consider(t_new, i_new, fam_id, t_best, fam, idx):
+    if geom_axis is not None:
+        my_shard = jax.lax.axis_index(geom_axis)
+
+    def consider(t_new, i_new, fam_id, t_best, fam, idx, sharded=False,
+                 local_rows=0):
+        i_new = i_new.astype(jnp.int32)
+        if geom_axis is not None and sharded:
+            i_new = i_new + my_shard * local_rows
         better = t_new < t_best
         return (
             jnp.where(better, t_new, t_best),
             jnp.where(better, fam_id, fam),
-            jnp.where(better, i_new.astype(jnp.int32), idx),
+            jnp.where(better, i_new, idx),
         )
 
     if static.n_spheres:
         t_s, i_s = hit_spheres(scene.spheres, o, d, time, cfg.t_min)
-        t_best, fam, idx = consider(t_s, i_s, _FAM_SPHERE, t_best, fam, idx)
+        t_best, fam, idx = consider(t_s, i_s, _FAM_SPHERE, t_best, fam, idx,
+                                    sharded=True,
+                                    local_rows=scene.spheres.radius.shape[0])
     if static.n_rects:
         t_r, i_r = hit_rects(scene.rects, o, d, cfg.t_min)
         t_best, fam, idx = consider(t_r, i_r, _FAM_RECT, t_best, fam, idx)
     if static.n_triangles:
         t_t, i_t = hit_triangles(scene.triangles, o, d, cfg.t_min)
-        t_best, fam, idx = consider(t_t, i_t, _FAM_TRI, t_best, fam, idx)
+        t_best, fam, idx = consider(t_t, i_t, _FAM_TRI, t_best, fam, idx,
+                                    sharded=True,
+                                    local_rows=scene.triangles.mat.shape[0])
     if static.n_volumes:
         t_v, i_v = hit_volumes(
             scene.volumes, o, d, cfg.t_min, seed, ray_id, depth,
             use_log10=cfg.use_log10_volume_sampling,
         )
         t_best, fam, idx = consider(t_v, i_v, _FAM_VOL, t_best, fam, idx)
+
+    if geom_axis is not None:
+        # Cross-shard winner: gather (t, fam, idx) from every geometry shard
+        # and min-combine — one small all-gather over ICI per bounce.
+        tg = jax.lax.all_gather(t_best, geom_axis)      # (G, B)
+        fg = jax.lax.all_gather(fam, geom_axis)
+        ig = jax.lax.all_gather(idx, geom_axis)
+        k = jnp.argmin(tg, axis=0)                       # (B,)
+        lanes = jnp.arange(B)
+        t_best = tg[k, lanes]
+        fam = fg[k, lanes]
+        idx = ig[k, lanes]
 
     return t_best, fam, idx
 

@@ -95,7 +95,8 @@ def scatter(
     ud = rt_rng.rand4(seed, ray_id, depth, rt_rng.SALT_DIELECTRIC)[..., 0]
     ratio = jnp.where(front_face, 1.0 / ior, ior)
     cos_theta = jnp.minimum(dot(-unit_in, normal), 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    # max() keeps sqrt' finite at normal incidence (0*inf -> NaN in backward).
+    sin_theta = jnp.sqrt(jnp.maximum(1e-12, 1.0 - cos_theta * cos_theta))
     cannot_refract = ratio * sin_theta > 1.0
     r0 = ((1.0 - ratio) / (1.0 + ratio)) ** 2
     reflectance = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5  # Schlick, material.rs:108-113

@@ -89,8 +89,12 @@ def hit_spheres(sp: Spheres, o: Array, d: Array, time: Array, t_min: float,
 
 
 def sphere_uv(outward_normal: Array) -> tuple[Array, Array]:
-    """Spherical UV of a unit point (spherical.rs:62-77)."""
-    theta = jnp.arccos(jnp.clip(-outward_normal[..., 1], -1.0, 1.0))
+    """Spherical UV of a unit point (spherical.rs:62-77).
+
+    The clip bound is pulled fractionally inside ±1 so arccos' stays finite
+    at the poles (backward-pass NaN guard).
+    """
+    theta = jnp.arccos(jnp.clip(-outward_normal[..., 1], -0.9999999, 0.9999999))
     phi = jnp.arctan2(-outward_normal[..., 2], outward_normal[..., 0]) + jnp.pi
     return phi / _TWO_PI, theta / jnp.pi
 

@@ -54,8 +54,10 @@ def refract(uv: Array, n: Array, eta_i_over_eta_t: Array) -> Array:
     if eta.ndim < cos_theta.ndim:
         eta = jnp.broadcast_to(eta, cos_theta.shape)
     r_out_perp = eta[..., None] * (uv + cos_theta[..., None] * n)
+    # max() keeps sqrt' finite at the TIR boundary (backward-pass NaN guard).
     r_out_parallel = (
-        -jnp.sqrt(jnp.abs(1.0 - length_squared(r_out_perp)))[..., None] * n
+        -jnp.sqrt(jnp.maximum(1e-12, jnp.abs(1.0 - length_squared(r_out_perp))))[..., None]
+        * n
     )
     return r_out_perp + r_out_parallel
 
