@@ -1,0 +1,106 @@
+"""Benchmark: random-spheres forward render throughput on one chip.
+
+Workload = BASELINE.md config 1: the "One Weekend" final random-spheres
+scene (jumpy_balls: ~488 spheres incl. moving + hollow glass), 400x225 film,
+16 spp, max-depth 8. Prints ONE JSON line:
+
+    {"metric": "rays_per_s_fwd", "value": N, "unit": "rays/s",
+     "vs_baseline": N / 1e8, ...}
+
+`rays_per_s_fwd` counts traced ray SEGMENTS (primary + bounce, i.e. live
+lanes summed over wavefront iterations) per second — the quantity the
+north-star "rays/s/chip" targets; `primary_rays_per_s` (camera rays / s) is
+also reported for reference. vs_baseline is measured against the 100M
+rays/s/chip north-star target (the reference publishes no numbers —
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_weekend_tpu import integrator
+    from raytracer_weekend_tpu.config import RenderConfig
+    from raytracer_weekend_tpu.models.scenes import jumpy_balls
+    from raytracer_weekend_tpu.scene import builder as B
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    cfg = RenderConfig(width=400, height=225, samples_per_pixel=16,
+                       max_depth=8, seed=0, ray_batch=1 << 17)
+    objs, cams, background = jumpy_balls(cfg.aspect_ratio, seed=0)
+    scene, static = B.build_scene(objs, background=background, seed=0)
+    cam = cams[0]
+
+    n_lanes = cfg.n_rays
+    batch = cfg.ray_batch
+
+    # Segment-counting render chunk (jitted once per shape).
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def chunk_with_stats(scene, cam, ids, seed):
+        o, d, t, ray_id = integrator._pixel_rays(cam, cfg, ids, seed)
+        colors, segments = integrator.trace_rays(
+            scene, static, cfg, o, d, t, ray_id, seed, return_stats=True)
+        return colors.sum(), segments
+
+    seed = jnp.uint32(cfg.seed)
+    all_ids = [jnp.arange(s, min(s + batch, n_lanes), dtype=jnp.int32)
+               for s in range(0, n_lanes, batch)]
+    # Pad the last chunk to the common shape so one compilation serves all.
+    if all_ids[-1].shape[0] != batch:
+        pad = batch - all_ids[-1].shape[0]
+        all_ids[-1] = jnp.concatenate(
+            [all_ids[-1], jnp.full((pad,), n_lanes - 1, jnp.int32)])
+
+    # Warmup/compile.
+    t0 = time.time()
+    _, seg0 = chunk_with_stats(scene, cam, all_ids[0], seed)
+    jax.block_until_ready(seg0)
+    print(f"# compile+first chunk: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    def run_once():
+        total_segments = 0
+        for ids in all_ids:
+            _, segs = chunk_with_stats(scene, cam, ids, seed)
+            total_segments += int(segs)
+        return total_segments
+
+    # Timed repeats.
+    run_once()  # ensure all shapes compiled + caches hot
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        total_segments = run_once()
+    dt = (time.time() - t0) / reps
+
+    primary = n_lanes
+    rays_per_s = total_segments / dt
+    result = {
+        "metric": "rays_per_s_fwd",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / 1e8, 4),
+        "primary_rays_per_s": round(primary / dt, 1),
+        "segments_per_frame": total_segments,
+        "frame_s": round(dt, 4),
+        "config": "jumpy_balls 400x225x16spp depth8",
+        "device": str(dev),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

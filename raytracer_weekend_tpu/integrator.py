@@ -39,6 +39,7 @@ from raytracer_weekend_tpu.ops import (
     hit_rects, hit_spheres, hit_triangles, hit_volumes,
     rect_record, sphere_record, triangle_record, volume_record,
 )
+from raytracer_weekend_tpu.ops import bvh as bvh_mod
 from raytracer_weekend_tpu.scene.data import SceneData, SceneStatic
 from raytracer_weekend_tpu.vecmath import dot
 
@@ -78,8 +79,16 @@ def _closest_hit(scene: SceneData, static: SceneStatic, o, d, time,
             jnp.where(better, i_new, idx),
         )
 
+    use_sphere_bvh = static.sphere_bvh and geom_axis is None
+    use_tri_bvh = static.triangle_bvh and geom_axis is None
+
     if static.n_spheres:
-        t_s, i_s = hit_spheres(scene.spheres, o, d, time, cfg.t_min)
+        if use_sphere_bvh:
+            t_s, i_s = bvh_mod.traverse(
+                scene.sphere_bvh, o, d, cfg.t_min,
+                bvh_mod.sphere_prim_test(scene.spheres, o, d, time, cfg.t_min))
+        else:
+            t_s, i_s = hit_spheres(scene.spheres, o, d, time, cfg.t_min)
         t_best, fam, idx = consider(t_s, i_s, _FAM_SPHERE, t_best, fam, idx,
                                     sharded=True,
                                     local_rows=scene.spheres.radius.shape[0])
@@ -87,7 +96,12 @@ def _closest_hit(scene: SceneData, static: SceneStatic, o, d, time,
         t_r, i_r = hit_rects(scene.rects, o, d, cfg.t_min)
         t_best, fam, idx = consider(t_r, i_r, _FAM_RECT, t_best, fam, idx)
     if static.n_triangles:
-        t_t, i_t = hit_triangles(scene.triangles, o, d, cfg.t_min)
+        if use_tri_bvh:
+            t_t, i_t = bvh_mod.traverse(
+                scene.triangle_bvh, o, d, cfg.t_min,
+                bvh_mod.triangle_prim_test(scene.triangles, o, d, cfg.t_min))
+        else:
+            t_t, i_t = hit_triangles(scene.triangles, o, d, cfg.t_min)
         t_best, fam, idx = consider(t_t, i_t, _FAM_TRI, t_best, fam, idx,
                                     sharded=True,
                                     local_rows=scene.triangles.mat.shape[0])
@@ -113,18 +127,31 @@ def _closest_hit(scene: SceneData, static: SceneStatic, o, d, time,
     return t_best, fam, idx
 
 
-def _hit_record(scene: SceneData, static: SceneStatic, o, d, time, t, fam, idx):
-    """Branchless union of the per-family hit-record reconstructions."""
+def _hit_record(scene: SceneData, static: SceneStatic, o, d, time, t, fam, idx,
+                geom_axis: str | None = None):
+    """Branchless union of the per-family hit-record reconstructions.
+
+    With `geom_axis` set, sphere/triangle rows live on exactly one geometry
+    shard: the owner computes the record and a psum over the axis broadcasts
+    it (replicated families contribute from shard 0 only).
+    """
     B = o.shape[0]
     p = jnp.zeros((B, 3))
-    outward = jnp.zeros((B, 3)).at[:, 0].set(1.0)
+    outward = jnp.zeros((B, 3))
     u = jnp.zeros((B,))
     v = jnp.zeros((B,))
     mat_id = jnp.zeros((B,), jnp.int32)
+    wrote = jnp.zeros((B,), bool)
 
-    def merge(fam_id, rec, p, outward, u, v, mat_id):
+    if geom_axis is not None:
+        my_shard = jax.lax.axis_index(geom_axis)
+        is_shard0 = my_shard == 0
+
+    def merge(fam_id, rec, p, outward, u, v, mat_id, wrote, mine=None):
         rp, rn, ru, rv, rm = rec
         m = fam == fam_id
+        if mine is not None:
+            m = m & mine
         m3 = m[:, None]
         return (
             jnp.where(m3, rp, p),
@@ -132,24 +159,52 @@ def _hit_record(scene: SceneData, static: SceneStatic, o, d, time, t, fam, idx):
             jnp.where(m, ru, u),
             jnp.where(m, rv, v),
             jnp.where(m, rm, mat_id),
+            wrote | m,
         )
 
     # Guard t for padded lanes so records never see inf.
     t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
-    safe_idx = idx  # argmin always returns a valid row index
+    repl_mine = None if geom_axis is None else jnp.full((B,), is_shard0)
 
     if static.n_spheres:
-        rec = sphere_record(scene.spheres, safe_idx, o, d, time, t_safe)
-        p, outward, u, v, mat_id = merge(_FAM_SPHERE, rec, p, outward, u, v, mat_id)
+        rows = scene.spheres.radius.shape[0]
+        if geom_axis is None:
+            local_idx, mine = idx, None
+        else:
+            local_idx = jnp.clip(idx - my_shard * rows, 0, rows - 1)
+            mine = (idx >= my_shard * rows) & (idx < (my_shard + 1) * rows)
+        rec = sphere_record(scene.spheres, local_idx, o, d, time, t_safe)
+        p, outward, u, v, mat_id, wrote = merge(
+            _FAM_SPHERE, rec, p, outward, u, v, mat_id, wrote, mine)
     if static.n_rects:
-        rec = rect_record(scene.rects, safe_idx, o, d, t_safe)
-        p, outward, u, v, mat_id = merge(_FAM_RECT, rec, p, outward, u, v, mat_id)
+        rec = rect_record(scene.rects, idx, o, d, t_safe)
+        p, outward, u, v, mat_id, wrote = merge(
+            _FAM_RECT, rec, p, outward, u, v, mat_id, wrote, repl_mine)
     if static.n_triangles:
-        rec = triangle_record(scene.triangles, safe_idx, o, d, t_safe)
-        p, outward, u, v, mat_id = merge(_FAM_TRI, rec, p, outward, u, v, mat_id)
+        rows = scene.triangles.mat.shape[0]
+        if geom_axis is None:
+            local_idx, mine = idx, None
+        else:
+            local_idx = jnp.clip(idx - my_shard * rows, 0, rows - 1)
+            mine = (idx >= my_shard * rows) & (idx < (my_shard + 1) * rows)
+        rec = triangle_record(scene.triangles, local_idx, o, d, t_safe)
+        p, outward, u, v, mat_id, wrote = merge(
+            _FAM_TRI, rec, p, outward, u, v, mat_id, wrote, mine)
     if static.n_volumes:
-        rec = volume_record(scene.volumes, safe_idx, o, d, t_safe)
-        p, outward, u, v, mat_id = merge(_FAM_VOL, rec, p, outward, u, v, mat_id)
+        rec = volume_record(scene.volumes, idx, o, d, t_safe)
+        p, outward, u, v, mat_id, wrote = merge(
+            _FAM_VOL, rec, p, outward, u, v, mat_id, wrote, repl_mine)
+
+    if geom_axis is not None:
+        # Broadcast the owner's record to every geometry shard: exactly one
+        # shard wrote each claimed lane, so a masked psum reconstructs the
+        # record everywhere.
+        p = jax.lax.psum(jnp.where(wrote[:, None], p, 0.0), geom_axis)
+        outward = jax.lax.psum(jnp.where(wrote[:, None], outward, 0.0),
+                               geom_axis)
+        u = jax.lax.psum(jnp.where(wrote, u, 0.0), geom_axis)
+        v = jax.lax.psum(jnp.where(wrote, v, 0.0), geom_axis)
+        mat_id = jax.lax.psum(jnp.where(wrote, mat_id, 0), geom_axis)
 
     # Front-face normal flip (hittable/mod.rs:40-45). Volumes fix
     # front_face=True with an arbitrary normal (volumes.rs:66-68); their
@@ -162,11 +217,16 @@ def _hit_record(scene: SceneData, static: SceneStatic, o, d, time, t, fam, idx):
 
 
 def trace_rays(scene: SceneData, static: SceneStatic, cfg: RenderConfig,
-               o: Array, d: Array, time: Array, ray_id: Array, seed) -> Array:
+               o: Array, d: Array, time: Array, ray_id: Array, seed,
+               geom_axis: str | None = None,
+               return_stats: bool = False) -> Array:
     """Estimate radiance for a megabatch of rays -> (B,3).
 
     The wavefront analog of sample_ray (lib.rs:97-117): a lax.scan over
-    bounce depth carrying {o, d, throughput, radiance, alive}.
+    bounce depth carrying {o, d, throughput, radiance, alive}. With
+    `geom_axis` (inside shard_map) sphere/triangle tables are shard slices
+    and each bounce does one all-gather min-combine + masked-psum record
+    broadcast over the axis.
     """
     B = o.shape[0]
     background = scene.background
@@ -176,13 +236,15 @@ def trace_rays(scene: SceneData, static: SceneStatic, cfg: RenderConfig,
         jnp.ones((B, 3)),            # throughput
         jnp.zeros((B, 3)),           # radiance
         jnp.ones((B,), dtype=bool),  # alive
+        jnp.zeros((), jnp.int32),    # traced ray segments (perf counter)
     )
 
     def bounce(state, depth):
-        o, d, throughput, radiance, alive = state
+        o, d, throughput, radiance, alive, segments = state
+        segments = segments + jnp.sum(alive.astype(jnp.int32))
 
         t, fam, idx = _closest_hit(scene, static, o, d, time, seed, ray_id,
-                                   depth, cfg)
+                                   depth, cfg, geom_axis)
         hit_mask = jnp.isfinite(t)
 
         # Miss -> background, terminate (lib.rs:102-105).
@@ -193,7 +255,7 @@ def trace_rays(scene: SceneData, static: SceneStatic, cfg: RenderConfig,
         alive = alive & hit_mask
 
         p, normal, front_face, u, v, mat_id = _hit_record(
-            scene, static, o, d, time, t, fam, idx)
+            scene, static, o, d, time, t, fam, idx, geom_axis)
 
         sc = mat_mod.scatter(
             scene.materials, scene.textures, mat_id, d, p, normal, front_face,
@@ -212,11 +274,13 @@ def trace_rays(scene: SceneData, static: SceneStatic, cfg: RenderConfig,
         # (material.rs:50, :82, :136, :159 all pass r_in.time()).
         o = jnp.where(alive[:, None], p, o)
         d = jnp.where(alive[:, None], sc.direction, d)
-        return (o, d, throughput, radiance, alive), None
+        return (o, d, throughput, radiance, alive, segments), None
 
-    (o, d, throughput, radiance, alive), _ = jax.lax.scan(
+    (o, d, throughput, radiance, alive, segments), _ = jax.lax.scan(
         bounce, init, jnp.arange(cfg.max_depth, dtype=jnp.uint32))
     # Depth exhausted with alive rays -> contribute black (lib.rs:98-100).
+    if return_stats:
+        return radiance, segments
     return radiance
 
 

@@ -60,9 +60,11 @@ def make_render_mesh(shape: tuple[int, int, int] | None = None,
     n = devices.size
     if shape is None:
         shape = (n, 1, 1)
-    if int(np.prod(shape)) != n:
-        raise ValueError(f"mesh shape {shape} does not cover {n} devices")
-    mesh = Mesh(devices.reshape(shape), ("rays", "spp", "geom"))
+    need = int(np.prod(shape))
+    if need > n:
+        raise ValueError(f"mesh shape {shape} needs {need} devices, "
+                         f"have {n}")
+    mesh = Mesh(devices.flat[:need].reshape(shape), ("rays", "spp", "geom"))
     return RenderMesh(mesh=mesh)
 
 

@@ -309,12 +309,18 @@ class SceneBuilder:
 
 
 def build_scene(objects: Sequence, background=(0.7, 0.8, 1.0),
-                seed: int = 0) -> tuple[SceneData, SceneStatic]:
-    """Compile DSL objects -> (SceneData pytree, SceneStatic jit-static facts)."""
+                seed: int = 0,
+                bvh: str | bool = "auto") -> tuple[SceneData, SceneStatic]:
+    """Compile DSL objects -> (SceneData pytree, SceneStatic jit-static facts).
+
+    bvh: "auto" builds an acceleration structure for families large enough
+    that stackless traversal beats the MXU brute force (triangles > 64,
+    spheres > 512); True forces, False disables.
+    """
     comp = _Compiler(seed)
     for obj in objects:
         comp.add(obj)
-    return comp.finish(background)
+    return comp.finish(background, bvh)
 
 
 class _Compiler:
@@ -461,7 +467,8 @@ class _Compiler:
 
     # -- table emission ----------------------------------------------------
 
-    def finish(self, background) -> tuple[SceneData, SceneStatic]:
+    def finish(self, background,
+               bvh: str | bool = "auto") -> tuple[SceneData, SceneStatic]:
         n_spheres = len(self.sph)
         n_rects = len(self.rect)
         n_tris = len(self.tri)
@@ -473,16 +480,57 @@ class _Compiler:
         vols = self._emit_volumes()
         materials, textures, has_noise, has_image = self._emit_shading()
 
+        want_sphere_bvh = (bvh is True) or (bvh == "auto" and n_spheres > 512)
+        want_tri_bvh = (bvh is True) or (bvh == "auto" and n_tris > 64)
+        sphere_bvh = self._build_sphere_bvh(spheres) if (
+            want_sphere_bvh and n_spheres) else None
+        triangle_bvh = self._build_triangle_bvh(tris) if (
+            want_tri_bvh and n_tris) else None
+
         data = SceneData(
             spheres=spheres, rects=rects, triangles=tris, volumes=vols,
             materials=materials, textures=textures,
             background=jnp.asarray(background, jnp.float32),
+            sphere_bvh=sphere_bvh, triangle_bvh=triangle_bvh,
         )
         static = SceneStatic(
             n_spheres=n_spheres, n_rects=n_rects, n_triangles=n_tris,
             n_volumes=n_vols, has_noise=has_noise, has_image=has_image,
+            sphere_bvh=sphere_bvh is not None,
+            triangle_bvh=triangle_bvh is not None,
         )
         return data, static
+
+    @staticmethod
+    def _build_sphere_bvh(spheres):
+        """AABBs over the full shutter motion (spherical.rs:96-103, 137-150);
+        |radius| guards hollow-glass negative radii which would invert the
+        reference's box."""
+        from raytracer_weekend_tpu.native import build_bvh
+        from raytracer_weekend_tpu.ops.bvh import Bvh
+
+        c0 = np.asarray(spheres.c0)
+        c1 = np.asarray(spheres.c1)
+        r = np.abs(np.asarray(spheres.radius))[:, None]
+        lo = np.minimum(c0 - r, c1 - r)
+        hi = np.maximum(c0 + r, c1 + r)
+        return Bvh(*map(jnp.asarray, build_bvh(lo, hi)))
+
+    @staticmethod
+    def _build_triangle_bvh(tris):
+        """Triangle AABBs with the reference's thin-extent padding
+        (triangular.rs:79-93: +-1e-4 when an axis extent is < 2e-4)."""
+        from raytracer_weekend_tpu.native import build_bvh
+        from raytracer_weekend_tpu.ops.bvh import Bvh
+
+        v = np.stack([np.asarray(tris.v0), np.asarray(tris.v1),
+                      np.asarray(tris.v2)], axis=1)  # (T,3,3)
+        lo = v.min(axis=1)
+        hi = v.max(axis=1)
+        thin = (hi - lo) < 2e-4
+        lo = np.where(thin, lo - 1e-4, lo)
+        hi = np.where(thin, hi + 1e-4, hi)
+        return Bvh(*map(jnp.asarray, build_bvh(lo, hi)))
 
     def _emit_spheres(self) -> Spheres:
         rows = self.sph or [((0, 1e9, 0), (0, 1e9, 0), 0.0, 1.0, 1.0, 0)]

@@ -110,7 +110,12 @@ class Volumes(NamedTuple):
 
 
 class SceneData(NamedTuple):
-    """The complete differentiable scene pytree."""
+    """The complete differentiable scene pytree.
+
+    sphere_bvh/triangle_bvh are flat skip-link BVHs (ops.bvh.Bvh) built by
+    the native builder when the family is large enough (zero-size arrays
+    otherwise); SceneStatic's flags gate which intersection path compiles.
+    """
 
     spheres: Spheres
     rects: Rects
@@ -119,6 +124,8 @@ class SceneData(NamedTuple):
     materials: MaterialTable
     textures: TextureTable
     background: Array  # (3,) miss color (lib.rs:104)
+    sphere_bvh: object = None    # ops.bvh.Bvh
+    triangle_bvh: object = None  # ops.bvh.Bvh
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,88 @@
+"""Sharded rendering on a virtual 8-device CPU mesh.
+
+Validates that every mesh decomposition — ray shards, sample shards,
+geometry shards, and mixes — reproduces the single-device render exactly
+(the determinism property SURVEY.md §2.6 demands from the TPU rebuild), and
+that the inverse-rendering train step drives loss down through the
+shard_map's gradient psums.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracer_weekend_tpu import integrator
+from raytracer_weekend_tpu.camera import make_camera
+from raytracer_weekend_tpu.config import RenderConfig
+from raytracer_weekend_tpu.parallel import (
+    make_render_mesh, render_sharded, train_step,
+)
+from raytracer_weekend_tpu.scene import builder as B
+
+
+def _scene():
+    objs = [
+        B.Sphere((0, -100.5, -1), 100.0,
+                 B.Lambertian(B.Checker(B.SolidColor((0.2, 0.3, 0.1)),
+                                        B.SolidColor((0.9, 0.9, 0.9)), 10.0))),
+        B.Sphere((0, 0, -1), 0.5, B.Lambertian((0.1, 0.2, 0.5))),
+        B.Sphere((-1, 0, -1), 0.5, B.Dielectric(1.5)),
+        B.Sphere((1, 0, -1), 0.5, B.Metal((0.8, 0.6, 0.2), 0.2)),
+        B.Triangle.flat_shaded(((-2, 0, -2.5), (2, 0, -2.5), (0, 2, -2.5)),
+                               B.Lambertian(B.UVDebug())),
+        B.XYRectangle(-0.5, 0.5, 1.0, 1.8, -2.0, B.DiffuseLight((3, 3, 3))),
+    ]
+    scene, static = B.build_scene(objs, background=(0.6, 0.7, 0.9))
+    cfg = RenderConfig(width=12, height=6, samples_per_pixel=4, max_depth=4,
+                       seed=5)
+    cam = make_camera((0, 0.4, 1.5), (0, 0.2, -1), (0, 1, 0), 50.0,
+                      cfg.aspect_ratio, 0.0, 2.0, 0.0, 1.0)
+    return scene, static, cfg, cam
+
+
+def _reference_image(scene, static, cfg, cam):
+    return np.asarray(integrator.render_image(scene, static, cfg, cam))
+
+
+MESH_SHAPES = [(8, 1, 1), (1, 8, 1), (1, 1, 8), (2, 2, 2), (4, 1, 2)]
+
+
+@pytest.mark.parametrize("shape", MESH_SHAPES)
+def test_sharded_matches_single_device(shape):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    scene, static, cfg, cam = _scene()
+    ref = _reference_image(scene, static, cfg, cam)
+    rmesh = make_render_mesh(shape)
+    img = np.asarray(render_sharded(scene, static, cfg, cam, rmesh))
+    np.testing.assert_allclose(img, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_train_step_reduces_loss():
+    # Small scene + (2,2,1) mesh: exercises the dp/sp axes and the gradient
+    # all-reduce that shard_map's transpose inserts.
+    objs = [
+        B.Sphere((0, -100.5, -1), 100.0, B.Lambertian((0.8, 0.8, 0.0))),
+        B.Sphere((0, 0, -1), 0.5, B.Lambertian((0.1, 0.2, 0.5))),
+    ]
+    scene, static = B.build_scene(objs, background=(0.6, 0.7, 0.9))
+    cfg = RenderConfig(width=6, height=3, samples_per_pixel=2, max_depth=2,
+                       seed=5)
+    cam = make_camera((0, 0.2, 1.2), (0, 0, -1), (0, 1, 0), 50.0, 2.0, 0.0,
+                      2.0, 0.0, 1.0)
+    rmesh = make_render_mesh((2, 2, 1))
+
+    # Target: the render with the true albedo; start from a perturbed one.
+    target = render_sharded(scene, static, cfg, cam, rmesh)
+    target = target / cfg.samples_per_pixel
+
+    perturbed = scene._replace(textures=scene.textures._replace(
+        color1=scene.textures.color1.at[1].set(jnp.asarray([0.9, 0.9, 0.9]))))
+
+    losses = []
+    s = perturbed
+    for _ in range(3):
+        s, loss = train_step(s, static, cfg, cam, target, rmesh, lr=3.0)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.95, losses
