@@ -79,11 +79,24 @@ def _closest_hit(scene: SceneData, static: SceneStatic, o, d, time,
             jnp.where(better, i_new, idx),
         )
 
-    use_sphere_bvh = static.sphere_bvh and geom_axis is None
-    use_tri_bvh = static.triangle_bvh and geom_axis is None
+    # Intersection-path selection: the Pallas VMEM-resident kernels are the
+    # fast path on TPU backends (the jnp brute force spills O(B*S) to HBM);
+    # the BVH serves oversized tables and CPU; jnp brute force is fallback.
+    pallas_on = cfg.use_pallas is True or (
+        cfg.use_pallas == "auto" and jax.default_backend() != "cpu")
+    use_sphere_pallas = pallas_on and static.n_spheres <= 8192
+    use_tri_pallas = pallas_on and static.n_triangles <= 16384
+    use_sphere_bvh = (static.sphere_bvh and geom_axis is None
+                      and not use_sphere_pallas)
+    use_tri_bvh = (static.triangle_bvh and geom_axis is None
+                   and not use_tri_pallas)
 
     if static.n_spheres:
-        if use_sphere_bvh:
+        if use_sphere_pallas:
+            from raytracer_weekend_tpu.ops.pallas import hit_spheres_pallas
+            t_s, i_s = hit_spheres_pallas(scene.spheres, o, d, time,
+                                          cfg.t_min)
+        elif use_sphere_bvh:
             t_s, i_s = bvh_mod.traverse(
                 scene.sphere_bvh, o, d, cfg.t_min,
                 bvh_mod.sphere_prim_test(scene.spheres, o, d, time, cfg.t_min))
@@ -96,7 +109,10 @@ def _closest_hit(scene: SceneData, static: SceneStatic, o, d, time,
         t_r, i_r = hit_rects(scene.rects, o, d, cfg.t_min)
         t_best, fam, idx = consider(t_r, i_r, _FAM_RECT, t_best, fam, idx)
     if static.n_triangles:
-        if use_tri_bvh:
+        if use_tri_pallas:
+            from raytracer_weekend_tpu.ops.pallas import hit_triangles_pallas
+            t_t, i_t = hit_triangles_pallas(scene.triangles, o, d, cfg.t_min)
+        elif use_tri_bvh:
             t_t, i_t = bvh_mod.traverse(
                 scene.triangle_bvh, o, d, cfg.t_min,
                 bvh_mod.triangle_prim_test(scene.triangles, o, d, cfg.t_min))

@@ -94,10 +94,12 @@ def test_sphere_uv_cardinal_points():
         [1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1],
     ], jnp.float32)
     u, v = sphere_uv(pts)
+    # atol 2e-4: the pole-clip gradient guard (ops/sphere.py sphere_uv)
+    # offsets v by ~1.4e-4 exactly at the +-y poles.
     np.testing.assert_allclose(
         np.asarray(u), [0.5, 0.0, 0.5, 0.5, 0.25, 0.75], atol=1e-6)
     np.testing.assert_allclose(
-        np.asarray(v), [0.5, 0.5, 1.0, 0.0, 0.5, 0.5], atol=1e-6)
+        np.asarray(v), [0.5, 0.5, 1.0, 0.0, 0.5, 0.5], atol=2e-4)
 
 
 def test_rect_hits_and_uv():

@@ -1,0 +1,111 @@
+"""Pallas intersection kernels vs the jnp reference paths (interpret mode).
+
+On the CPU test backend the kernels run under
+pltpu.force_tpu_interpret_mode(), checking the kernel math and the custom
+VJP; the real Mosaic compilation is exercised by bench.py on hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracer_weekend_tpu.ops import hit_spheres, hit_triangles
+from raytracer_weekend_tpu.ops.pallas import (
+    hit_spheres_pallas, hit_triangles_pallas,
+)
+from raytracer_weekend_tpu.scene import builder as B
+
+
+def _sphere_scene(rng, n=50):
+    objs = []
+    for _ in range(n - 1):
+        c = rng.normal(size=3) * 6
+        objs.append(B.Sphere(tuple(c), rng.uniform(0.3, 1.2),
+                             B.Lambertian((0.5, 0.5, 0.5))))
+    objs.append(B.MovingSphere((0, 0, -4), 0.0, (1, 0, -4), 1.0, 0.7,
+                               B.Lambertian((0.5, 0.5, 0.5))))
+    scene, _ = B.build_scene(objs)
+    return scene
+
+
+def test_sphere_kernel_matches_jnp(rng):
+    scene = _sphere_scene(rng)
+    o = jnp.asarray(rng.normal(size=(100, 3)) * 8, jnp.float32)
+    d = jnp.asarray(rng.normal(size=(100, 3)), jnp.float32)
+    time = jnp.asarray(rng.uniform(0, 1, 100), jnp.float32)
+    t_ref, i_ref = hit_spheres(scene.spheres, o, d, time, 1e-3)
+    with pltpu.force_tpu_interpret_mode():
+        t_pl, i_pl = hit_spheres_pallas(scene.spheres, o, d, time, 1e-3)
+    np.testing.assert_allclose(np.asarray(t_pl), np.asarray(t_ref),
+                               rtol=2e-3, atol=1e-4)
+    hit = np.isfinite(np.asarray(t_ref))
+    np.testing.assert_array_equal(np.asarray(i_pl)[hit],
+                                  np.asarray(i_ref)[hit])
+
+
+def test_sphere_kernel_custom_vjp(rng):
+    scene = _sphere_scene(rng, n=10)
+    o = jnp.asarray(rng.normal(size=(32, 3)) * 6, jnp.float32)
+    d = jnp.asarray(rng.normal(size=(32, 3)), jnp.float32)
+    time = jnp.zeros(32)
+
+    def loss_pl(c0):
+        sp = scene.spheres._replace(c0=c0, c1=c0)
+        with pltpu.force_tpu_interpret_mode():
+            t, _ = hit_spheres_pallas(sp, o, d, time, 1e-3)
+        return jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0))
+
+    def loss_ref(c0):
+        sp = scene.spheres._replace(c0=c0, c1=c0)
+        t, _ = hit_spheres(sp, o, d, time, 1e-3)
+        return jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0))
+
+    g_pl = np.asarray(jax.grad(loss_pl)(scene.spheres.c0))
+    g_ref = np.asarray(jax.grad(loss_ref)(scene.spheres.c0))
+    np.testing.assert_allclose(g_pl, g_ref, rtol=1e-3, atol=1e-4)
+
+
+def _tri_scene(rng, n=40):
+    tris = []
+    for _ in range(n):
+        base = rng.normal(size=3) * 3
+        v = base + rng.normal(size=(3, 3))
+        tris.append(B.Triangle.flat_shaded(v, B.Lambertian((1, 1, 1))))
+    scene, _ = B.build_scene(tris, bvh=False)
+    return scene
+
+
+def test_triangle_kernel_matches_jnp(rng):
+    scene = _tri_scene(rng)
+    o = jnp.asarray(rng.normal(size=(100, 3)) * 4, jnp.float32)
+    d = jnp.asarray(rng.normal(size=(100, 3)), jnp.float32)
+    t_ref, i_ref = hit_triangles(scene.triangles, o, d, 1e-3)
+    with pltpu.force_tpu_interpret_mode():
+        t_pl, i_pl = hit_triangles_pallas(scene.triangles, o, d, 1e-3)
+    np.testing.assert_allclose(np.asarray(t_pl), np.asarray(t_ref),
+                               rtol=2e-3, atol=1e-4)
+    hit = np.isfinite(np.asarray(t_ref))
+    np.testing.assert_array_equal(np.asarray(i_pl)[hit],
+                                  np.asarray(i_ref)[hit])
+
+
+def test_triangle_kernel_custom_vjp(rng):
+    scene = _tri_scene(rng, n=12)
+    o = jnp.asarray(rng.normal(size=(32, 3)) * 4, jnp.float32)
+    d = jnp.asarray(rng.normal(size=(32, 3)), jnp.float32)
+
+    def loss_pl(v0):
+        tr = scene.triangles._replace(v0=v0)
+        with pltpu.force_tpu_interpret_mode():
+            t, _ = hit_triangles_pallas(tr, o, d, 1e-3)
+        return jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0))
+
+    def loss_ref(v0):
+        tr = scene.triangles._replace(v0=v0)
+        t, _ = hit_triangles(tr, o, d, 1e-3)
+        return jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0))
+
+    g_pl = np.asarray(jax.grad(loss_pl)(scene.triangles.v0))
+    g_ref = np.asarray(jax.grad(loss_ref)(scene.triangles.v0))
+    np.testing.assert_allclose(g_pl, g_ref, rtol=1e-3, atol=1e-4)
