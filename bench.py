@@ -25,21 +25,39 @@ import numpy as np
 
 
 def main() -> int:
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
     from raytracer_weekend_tpu import integrator
     from raytracer_weekend_tpu.config import RenderConfig
-    from raytracer_weekend_tpu.models.scenes import jumpy_balls
+    from raytracer_weekend_tpu.models.scenes import book2_final_scene, jumpy_balls
     from raytracer_weekend_tpu.scene import builder as B
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", choices=["random_spheres", "book2_criterion"],
+                    default="random_spheres",
+                    help="random_spheres = BASELINE config 1 (headline); "
+                         "book2_criterion = the reference's criterion "
+                         "workload, 40x22 x 100 spp "
+                         "(basic_benchmark.rs:161-175)")
+    args = ap.parse_args()
 
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
-    cfg = RenderConfig(width=400, height=225, samples_per_pixel=16,
-                       max_depth=8, seed=0, ray_batch=1 << 17)
-    objs, cams, background = jumpy_balls(cfg.aspect_ratio, seed=0)
-    scene, static = B.build_scene(objs, background=background, seed=0)
+    if args.config == "random_spheres":
+        cfg = RenderConfig(width=400, height=225, samples_per_pixel=16,
+                           max_depth=8, seed=0, ray_batch=1 << 17)
+        objs, cams, background = jumpy_balls(cfg.aspect_ratio, seed=0)
+        cfg_name = "jumpy_balls 400x225x16spp depth8"
+    else:
+        cfg = RenderConfig(width=40, height=22, samples_per_pixel=100,
+                           max_depth=50, seed=1337, ray_batch=1 << 17)
+        objs, cams, background = book2_final_scene(cfg.aspect_ratio, seed=1337)
+        cfg_name = "book2_final 40x22x100spp depth50 (criterion parity)"
+    scene, static = B.build_scene(objs, background=background, seed=cfg.seed)
     cam = cams[0]
 
     n_lanes = cfg.n_rays
@@ -95,7 +113,7 @@ def main() -> int:
         "primary_rays_per_s": round(primary / dt, 1),
         "segments_per_frame": total_segments,
         "frame_s": round(dt, 4),
-        "config": "jumpy_balls 400x225x16spp depth8",
+        "config": cfg_name,
         "device": str(dev),
     }
     print(json.dumps(result))

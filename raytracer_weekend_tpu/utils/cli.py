@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--out-dir", default="render")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (tests/debug)")
+    p.add_argument("--stream", metavar="PATH", default=None,
+                   help="also emit the COBS/postcard pixel stream (the "
+                        "reference's UART wire format) to PATH")
+    p.add_argument("--resume-dir", metavar="DIR", default=None,
+                   help="tile checkpoint dir: resume a partial render")
     return p
 
 
@@ -82,7 +87,18 @@ def main(argv=None) -> int:
                 f"({rate / 1e6:.2f} Mrays/s)")
             sys.stderr.flush()
 
-        if rmesh is not None:
+        if args.stream is not None:
+            from raytracer_weekend_tpu.parallel.stream import stream_render
+            with open(args.stream, "ab") as f:
+                sums = np.asarray(stream_render(scene, static, cfg, cam,
+                                                f.write))
+        elif args.resume_dir is not None:
+            from raytracer_weekend_tpu.utils.checkpoint import (
+                TileStore, render_resumable)
+            sums = render_resumable(scene, static, cfg, cam,
+                                    TileStore(args.resume_dir),
+                                    frame=frame_no)
+        elif rmesh is not None:
             from raytracer_weekend_tpu.parallel import render_sharded
             sums = np.asarray(render_sharded(scene, static, cfg, cam, rmesh))
         else:
