@@ -106,7 +106,11 @@ def _closest_hit(scene: SceneData, static: SceneStatic, o, d, time,
                                     sharded=True,
                                     local_rows=scene.spheres.radius.shape[0])
     if static.n_rects:
-        t_r, i_r = hit_rects(scene.rects, o, d, cfg.t_min)
+        if pallas_on and static.n_rects <= 16384:
+            from raytracer_weekend_tpu.ops.pallas import hit_rects_pallas
+            t_r, i_r = hit_rects_pallas(scene.rects, o, d, cfg.t_min)
+        else:
+            t_r, i_r = hit_rects(scene.rects, o, d, cfg.t_min)
         t_best, fam, idx = consider(t_r, i_r, _FAM_RECT, t_best, fam, idx)
     if static.n_triangles:
         if use_tri_pallas:

@@ -18,5 +18,8 @@ from raytracer_weekend_tpu.ops.pallas.sphere_intersect import (
 from raytracer_weekend_tpu.ops.pallas.triangle_intersect import (
     hit_triangles_pallas,
 )
+from raytracer_weekend_tpu.ops.pallas.rect_intersect import (
+    hit_rects_pallas,
+)
 
-__all__ = ["hit_spheres_pallas", "hit_triangles_pallas"]
+__all__ = ["hit_spheres_pallas", "hit_triangles_pallas", "hit_rects_pallas"]
