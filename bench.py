@@ -44,6 +44,28 @@ def main() -> int:
                          "(basic_benchmark.rs:161-175)")
     args = ap.parse_args()
 
+    # Probe the backend with a trivial round-trip; the TPU tunnel in this
+    # image is single-client and can wedge — fall back to CPU (honestly
+    # labeled) rather than hanging the whole bench run.
+    def _backend_alive(timeout_s: float = 120.0) -> bool:
+        # Probe in a subprocess so this process never initializes a wedged
+        # backend (jax_platforms can't be re-selected after init).
+        import subprocess
+
+        code = ("import jax, jax.numpy as jnp;"
+                "print(float(jnp.ones((8, 8)).sum()))")
+        try:
+            out = subprocess.run([sys.executable, "-c", code],
+                                 capture_output=True, timeout=timeout_s)
+            return out.returncode == 0 and b"64.0" in out.stdout
+        except subprocess.TimeoutExpired:
+            return False
+
+    if not _backend_alive():
+        print("# TPU backend unresponsive; falling back to CPU",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
