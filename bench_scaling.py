@@ -1,0 +1,106 @@
+"""Scaling-efficiency benchmark: rays/s at 1 vs N processes.
+
+BASELINE.md target: >=90% rays/s scaling efficiency from 1 host to >=2
+hosts. On this single-chip image the harness runs the CPU-process
+simulation (each "host" = one process with its own XLA CPU devices and TCP
+collectives); on a pod the same script runs unchanged per host with the
+axon/TPU backend.
+
+    python bench_scaling.py              # 1-proc vs 2-proc, prints JSON
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+_WORKER = r"""
+import os, sys, time
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=%(devs)d"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); port = sys.argv[2]
+if %(nproc)d > 1:
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=%(nproc)d, process_id=pid)
+sys.path.insert(0, %(repo)r)
+import numpy as np
+from raytracer_weekend_tpu.camera import make_camera
+from raytracer_weekend_tpu.config import RenderConfig
+from raytracer_weekend_tpu.models.scenes import jumpy_balls
+from raytracer_weekend_tpu.parallel.multihost import (
+    global_render_mesh, render_multihost)
+from raytracer_weekend_tpu.scene import builder as B
+
+cfg = RenderConfig(width=%(w)d, height=%(h)d, samples_per_pixel=%(spp)d,
+                   max_depth=%(depth)d, seed=0)
+objs, cams, bg = jumpy_balls(cfg.aspect_ratio, seed=0)
+scene, static = B.build_scene(objs, background=bg, seed=0)
+img = render_multihost(scene, static, cfg, cams[0])      # warm/compile
+t0 = time.time()
+for _ in range(%(reps)d):
+    img = render_multihost(scene, static, cfg, cams[0])
+dt = (time.time() - t0) / %(reps)d
+if pid == 0:
+    print("RESULT", dt, flush=True)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def run_config(nproc: int, devs_per_proc: int, w=64, h=36, spp=4, depth=4,
+               reps=3) -> float:
+    code = _WORKER % dict(devs=devs_per_proc, nproc=nproc,
+                          repo=os.path.dirname(os.path.abspath(__file__)),
+                          w=w, h=h, spp=spp, depth=depth, reps=reps)
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", code, str(i), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        for i in range(nproc)]
+    result = None
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        for line in out.decode(errors="replace").splitlines():
+            if line.startswith("RESULT"):
+                result = float(line.split()[1])
+    if result is None:
+        raise RuntimeError("no RESULT from workers")
+    return result
+
+
+def main() -> int:
+    total_devs = 4
+    # Same total device count both ways: 1 proc x 4 devices vs 2 procs x 2 —
+    # isolates the cross-process (DCN-analog) overhead.
+    t1 = run_config(1, total_devs)
+    t2 = run_config(2, total_devs // 2)
+    eff = t1 / t2  # equal work: efficiency = time ratio
+    print(json.dumps({
+        "metric": "scaling_efficiency_1to2",
+        "value": round(eff, 4),
+        "unit": "x",
+        "vs_baseline": round(eff / 0.9, 4),
+        "t_1proc_s": round(t1, 4),
+        "t_2proc_s": round(t2, 4),
+        "note": "CPU process simulation, same 4 total virtual devices; on a "
+                "2-core host the 2-process run is oversubscribed so this "
+                "lower-bounds real efficiency — run per-host on a pod for "
+                "the BASELINE number",
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
