@@ -72,8 +72,13 @@ def main() -> int:
 
     if args.config == "random_spheres":
         spp = 2 if cpu_fallback else 16
+        # ray_batch=0: the whole 1.44M-lane frame in ONE dispatch — the
+        # Pallas kernels keep pairwise tiles in VMEM so no O(B*S) HBM
+        # buffers exist, and the single-client tunnel pays one round-trip
+        # per frame instead of one per chunk.
+        batch = 1 << 17 if cpu_fallback else 0
         cfg = RenderConfig(width=400, height=225, samples_per_pixel=spp,
-                           max_depth=8, seed=0, ray_batch=1 << 17)
+                           max_depth=8, seed=0, ray_batch=batch)
         objs, cams, background = jumpy_balls(cfg.aspect_ratio, seed=0)
         cfg_name = f"jumpy_balls 400x225x{spp}spp depth8"
     else:
@@ -113,11 +118,10 @@ def main() -> int:
     print(f"# compile+first chunk: {time.time() - t0:.1f}s", file=sys.stderr)
 
     def run_once():
-        total_segments = 0
-        for ids in all_ids:
-            _, segs = chunk_with_stats(scene, cam, ids, seed)
-            total_segments += int(segs)
-        return total_segments
+        # Queue every chunk before syncing: one host round-trip per frame.
+        outs = [chunk_with_stats(scene, cam, ids, seed) for ids in all_ids]
+        jax.block_until_ready(outs)
+        return sum(int(segs) for _, segs in outs)
 
     # Timed repeats.
     run_once()  # ensure all shapes compiled + caches hot
