@@ -95,6 +95,9 @@ def main() -> int:
     # Segment-counting render chunk (jitted once per shape).
     import functools
 
+    use_fused = integrator.fused_eligible(static, cfg)
+    print(f"# fused megakernel: {use_fused}", file=sys.stderr)
+
     @functools.partial(jax.jit, static_argnames=())
     def chunk_with_stats(scene, cam, ids, seed):
         o, d, t, ray_id = integrator._pixel_rays(cam, cfg, ids, seed)
@@ -102,24 +105,37 @@ def main() -> int:
             scene, static, cfg, o, d, t, ray_id, seed, return_stats=True)
         return colors.sum(), segments
 
+    def fused_with_stats(scene, cam, start, size, seed):
+        from raytracer_weekend_tpu.ops.pallas import render_fused
+        colors, seg = render_fused(scene, cfg, cam, start, size, seed)
+        return colors.sum(), seg.sum()
+
     seed = jnp.uint32(cfg.seed)
+    batch = batch or n_lanes
+    starts = list(range(0, n_lanes, batch))
     all_ids = [jnp.arange(s, min(s + batch, n_lanes), dtype=jnp.int32)
-               for s in range(0, n_lanes, batch)]
+               for s in starts]
     # Pad the last chunk to the common shape so one compilation serves all.
     if all_ids[-1].shape[0] != batch:
         pad = batch - all_ids[-1].shape[0]
         all_ids[-1] = jnp.concatenate(
             [all_ids[-1], jnp.full((pad,), n_lanes - 1, jnp.int32)])
 
+    def frame_outs():
+        if use_fused:
+            return [fused_with_stats(scene, cam, s, min(batch, n_lanes - s),
+                                     seed) for s in starts]
+        return [chunk_with_stats(scene, cam, ids, seed) for ids in all_ids]
+
     # Warmup/compile.
     t0 = time.time()
-    _, seg0 = chunk_with_stats(scene, cam, all_ids[0], seed)
-    jax.block_until_ready(seg0)
+    out0 = frame_outs()[0]
+    jax.block_until_ready(out0)
     print(f"# compile+first chunk: {time.time() - t0:.1f}s", file=sys.stderr)
 
     def run_once():
         # Queue every chunk before syncing: one host round-trip per frame.
-        outs = [chunk_with_stats(scene, cam, ids, seed) for ids in all_ids]
+        outs = frame_outs()
         jax.block_until_ready(outs)
         return sum(int(segs) for _, segs in outs)
 

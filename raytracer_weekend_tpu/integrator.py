@@ -334,6 +334,16 @@ def render_chunk(scene: SceneData, static: SceneStatic, cfg: RenderConfig,
     return trace_rays(scene, static, cfg, o, d, time, ray_id, seed)
 
 
+def fused_eligible(static: SceneStatic, cfg: RenderConfig) -> bool:
+    """True when the single fused Pallas megakernel can render this scene
+    (ops.pallas.megakernel: sphere-only, simple materials/textures)."""
+    from raytracer_weekend_tpu.ops.pallas.megakernel import fused_supported
+
+    pallas_on = cfg.use_pallas is True or (
+        cfg.use_pallas == "auto" and jax.default_backend() != "cpu")
+    return pallas_on and fused_supported(static, cfg)
+
+
 def render_image(scene: SceneData, static: SceneStatic, cfg: RenderConfig,
                  cam: Camera, progress=None) -> jnp.ndarray:
     """Full-frame render -> (H, W, 3) accumulated color SUMS over spp.
@@ -345,14 +355,24 @@ def render_image(scene: SceneData, static: SceneStatic, cfg: RenderConfig,
     batch = cfg.ray_batch or n_lanes
     seed = jnp.uint32(cfg.seed)
 
-    spp = cfg.samples_per_pixel
-    acc = jnp.zeros((cfg.n_pixels, 3))
+    use_fused = fused_eligible(static, cfg)
+    interp = jax.default_backend() == "cpu"  # forced-pallas-on-CPU testing
+
+    chunks = []
     for start in range(0, n_lanes, batch):
         size = min(batch, n_lanes - start)
-        ids = start + jnp.arange(size, dtype=jnp.int32)
-        colors = render_chunk(scene, static, cfg, cam, ids, seed)
-        lane_pix = ids // spp
-        acc = acc.at[lane_pix].add(colors)
+        if use_fused:
+            from raytracer_weekend_tpu.ops.pallas.megakernel import render_fused
+            colors, _ = render_fused(scene, cfg, cam, start, size, seed,
+                                     interpret=interp)
+        else:
+            ids = start + jnp.arange(size, dtype=jnp.int32)
+            colors = render_chunk(scene, static, cfg, cam, ids, seed)
+        chunks.append(colors)
         if progress is not None:
             progress(start + size, n_lanes)
+    lanes = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+    # Lanes are ordered pixel*spp + sample: the spp sum is a plain reshape
+    # reduction, not a scatter-add.
+    acc = lanes.reshape(cfg.n_pixels, cfg.samples_per_pixel, 3).sum(axis=1)
     return acc.reshape(cfg.height, cfg.width, 3)

@@ -21,5 +21,10 @@ from raytracer_weekend_tpu.ops.pallas.triangle_intersect import (
 from raytracer_weekend_tpu.ops.pallas.rect_intersect import (
     hit_rects_pallas,
 )
+from raytracer_weekend_tpu.ops.pallas.megakernel import (
+    fused_supported,
+    render_fused,
+)
 
-__all__ = ["hit_spheres_pallas", "hit_triangles_pallas", "hit_rects_pallas"]
+__all__ = ["hit_spheres_pallas", "hit_triangles_pallas", "hit_rects_pallas",
+           "render_fused", "fused_supported"]

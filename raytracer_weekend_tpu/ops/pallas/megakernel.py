@@ -1,0 +1,525 @@
+"""Fused path-tracing megakernel: the whole bounce loop in one Pallas call.
+
+Motivation (measured on TPU v5e, jumpy_balls 400x225x16spp d8): the staged
+wavefront — camera rays, per-family Pallas intersection, hit-record gathers,
+jnp shading — spends ~90% of the frame in XLA glue between kernels
+(per-bounce transposes/pads at kernel boundaries, dozens of unfused
+(B,3)-sized HBM round trips). This kernel fuses the entire estimator:
+
+    per ray tile (TILE_B lanes, VMEM-resident):
+      primary ray generation    (camera.rs:66-74 semantics, in-kernel PCG4D)
+      depth loop (early-exits when the whole tile is dead):
+        sphere intersection     (spherical.rs:18-60, MXU pairwise dots)
+        winner one-hot gather   (one (P,S)x(S,TILE_B) MXU matmul)
+        hit record + shading    (material.rs scatter union, VPU)
+      write radiance + per-lane segment counts
+
+HBM traffic is one (3,B) radiance write + one (1,B) segment write per frame;
+everything else lives in VMEM. Scope: sphere-only scenes with
+solid/checker-textured Lambertian/Metal/Dielectric/DiffuseLight materials —
+exactly the "One Weekend" headline workloads (jumpy_balls, two_spheres).
+Scenes outside this subset use the staged wavefront path (integrator.py).
+
+RNG parity: the in-kernel PCG4D reproduces rng.rand4 streams bit-for-bit
+(same (seed, ray_id, depth, salt) keying), so the fused image equals the
+staged image up to float-op reassociation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracer_weekend_tpu import rng as rt_rng
+from raytracer_weekend_tpu.camera import Camera
+from raytracer_weekend_tpu.config import RenderConfig
+from raytracer_weekend_tpu.scene.data import SceneData, SceneStatic
+
+_BIG = 3.0e38  # stand-in for +inf inside the kernel
+
+# Gather-table row layout (P_ROWS x S). One MXU matmul against the winner
+# one-hot reconstructs every per-hit quantity.
+_R_C0X, _R_C0Y, _R_C0Z = 0, 1, 2
+_R_DCX, _R_DCY, _R_DCZ = 3, 4, 5
+_R_T0, _R_INVDT = 6, 7
+_R_R2, _R_VALID = 8, 9
+_R_INVR = 10
+_R_MTYPE, _R_FUZZ, _R_IOR = 11, 12, 13
+_R_TTYPE = 14
+_R_C1R, _R_C1G, _R_C1B = 15, 16, 17
+_R_C2R, _R_C2G, _R_C2B = 18, 19, 20
+_R_TSCALE = 21
+P_ROWS = 24  # padded to a sublane multiple
+
+_TWO_PI = 6.283185307179586
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# --------------------------------------------------------------------------
+# In-kernel PCG4D (bit-identical to rng.pcg4d / rng.rand4)
+# --------------------------------------------------------------------------
+
+def _pcg4d(x, y, z, w):
+    mul = jnp.uint32(1664525)
+    add = jnp.uint32(1013904223)
+    v0 = x * mul + add
+    v1 = y * mul + add
+    v2 = z * mul + add
+    v3 = w * mul + add
+    v0 = v0 + v1 * v3
+    v1 = v1 + v2 * v0
+    v2 = v2 + v0 * v1
+    v3 = v3 + v1 * v2
+    v0 = v0 ^ (v0 >> 16)
+    v1 = v1 ^ (v1 >> 16)
+    v2 = v2 ^ (v2 >> 16)
+    v3 = v3 ^ (v3 >> 16)
+    v0 = v0 + v1 * v3
+    v1 = v1 + v2 * v0
+    v2 = v2 + v0 * v1
+    v3 = v3 + v1 * v2
+    return v0, v1, v2, v3
+
+
+def _uf(bits):
+    """uint32 -> f32 in [0,1), top 24 bits (rng._to_unit_float).
+
+    Mosaic has no uint32->f32 cast; the shifted value fits in 24 bits, so a
+    bitcast to int32 (always non-negative) then int32->f32 is exact.
+    """
+    top24 = jax.lax.bitcast_convert_type(bits >> 8, jnp.int32)
+    return top24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def _rand4(ray_id, depth_u32, salt, seed):
+    b0, b1, b2, b3 = _pcg4d(ray_id, depth_u32,
+                            jnp.uint32(salt & 0xFFFFFFFF), seed)
+    return _uf(b0), _uf(b1), _uf(b2), _uf(b3)
+
+
+def _unit_vec(u1, u2):
+    """Uniform sphere direction (rng.unit_vector_from_uniforms)."""
+    z = 1.0 - 2.0 * u1
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = _TWO_PI * u2
+    return r * jnp.cos(phi), r * jnp.sin(phi), z
+
+
+# --------------------------------------------------------------------------
+# Kernel
+# --------------------------------------------------------------------------
+
+def _kernel(par_ref, ipar_ref, colrow_ref, tab_ref, rad_ref, seg_ref, *,
+            width: int, height: int, spp: int, max_depth: int,
+            t_min: float, tile_b: int):
+    f = jnp.float32
+
+    def P(i):  # camera/background scalar
+        return par_ref[0, i]
+
+    lane_start = ipar_ref[0, 0] + pl.program_id(0) * tile_b
+    n_live = ipar_ref[0, 2]  # lanes in this chunk (tail lanes are dead)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile_b), 1) + lane_start
+    in_chunk = lane < (ipar_ref[0, 0] + n_live)
+    rid = jax.lax.bitcast_convert_type(lane, jnp.uint32)
+    # Mosaic only bitcasts vectors: broadcast the scalar seed first (via the
+    # concrete-layout iota, not jnp.zeros — see bounce_state note).
+    seed = jax.lax.bitcast_convert_type(lane * 0 + ipar_ref[0, 1], jnp.uint32)
+    zero_u = jax.lax.bitcast_convert_type(lane * 0, jnp.uint32)
+
+    # ---- primary rays (integrator._pixel_rays + camera.get_rays) ----------
+    # col/row are precomputed host-side: Mosaic's int-div-by-constant
+    # lowering needs i64 truncation it doesn't support.
+    col = colrow_ref[0:1, :]
+    row = colrow_ref[1:2, :]
+
+    j0, j1, _, _ = _rand4(rid, zero_u, rt_rng.SALT_PIXEL_JITTER, seed)
+    s = (col + j0) / f(width - 1)
+    t = (row + j1) / f(height - 1)
+
+    l0, l1, _, _ = _rand4(rid, zero_u, rt_rng.SALT_LENS, seed)
+    lrad = jnp.sqrt(l0)
+    lphi = _TWO_PI * l1
+    rdx = P(18) * lrad * jnp.cos(lphi)   # lens_radius * disk sample
+    rdy = P(18) * lrad * jnp.sin(lphi)
+
+    u0, _, _, _ = _rand4(rid, zero_u, rt_rng.SALT_TIME, seed)
+    time = P(19) + u0 * P(20)          # time0 + U * (time1 - time0)
+
+    offx = P(12) * rdx + P(15) * rdy   # cam.u * rd.x + cam.v * rd.y
+    offy = P(13) * rdx + P(16) * rdy
+    offz = P(14) * rdx + P(17) * rdy
+
+    ox = P(0) + offx
+    oy = P(1) + offy
+    oz = P(2) + offz
+    dx = P(3) + s * P(6) + t * P(9) - P(0) - offx
+    dy = P(4) + s * P(7) + t * P(10) - P(1) - offy
+    dz = P(5) + s * P(8) + t * P(11) - P(2) - offz
+
+    bg_r, bg_g, bg_b = P(21), P(22), P(23)
+
+    # ---- table rows (VMEM-resident across the whole depth loop) -----------
+    c0 = tab_ref[_R_C0X:_R_C0Z + 1, :]       # (3, S)
+    dc = tab_ref[_R_DCX:_R_DCZ + 1, :]
+    t0_row = tab_ref[_R_T0:_R_T0 + 1, :]     # (1, S)
+    invdt_row = tab_ref[_R_INVDT:_R_INVDT + 1, :]
+    r2_row = tab_ref[_R_R2:_R_R2 + 1, :]
+    valid_row = tab_ref[_R_VALID:_R_VALID + 1, :]
+
+    # Per-sphere scalars, hoisted out of the depth loop.
+    c0_sq = jnp.sum(c0 * c0, axis=0, keepdims=True)   # (1, S)
+    c0_dc = jnp.sum(c0 * dc, axis=0, keepdims=True)
+    dc_sq = jnp.sum(dc * dc, axis=0, keepdims=True)
+
+    # Derive the 0/1 init vectors from loaded data, not jnp.zeros/ones:
+    # broadcast constants carry a replicated layout that Mosaic cannot
+    # reconcile with concrete loop-carried layouts ("Sublane broadcast").
+    zero_f = col * 0.0
+    one_f = zero_f + 1.0
+
+    def bounce_state():
+        # `alive`/`seg` are carried as f32 0/1 masks and counts: Mosaic
+        # rejects i1 vectors in loop carries and bool<->number casts.
+        return (jnp.int32(0), ox, oy, oz, dx, dy, dz,
+                one_f, one_f, one_f,
+                zero_f, zero_f, zero_f,
+                jnp.where(in_chunk, one_f, zero_f), zero_f)
+
+    def cond(st):
+        i, *_, alive_m, _seg = st
+        return (i < max_depth) & (jnp.max(alive_m) > 0.0)
+
+    def body(st):
+        (i, ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr_, rg_, rb_,
+         alive_m, seg) = st
+        alive = alive_m > 0.0
+        seg = seg + alive_m
+        depth_u = jax.lax.bitcast_convert_type(lane * 0 + i, jnp.uint32)
+
+        # -- intersection: all pairwise ray-sphere dots on the MXU ----------
+        o3 = jnp.concatenate([ox, oy, oz], axis=0)   # (3, TB)
+        d3 = jnp.concatenate([dx, dy, dz], axis=0)
+
+        dn = (((0,), (0,)), ((), ()))  # contract the 3-axis
+        o_c0 = jax.lax.dot_general(o3, c0, dn, preferred_element_type=f)
+        o_dc = jax.lax.dot_general(o3, dc, dn, preferred_element_type=f)
+        d_c0 = jax.lax.dot_general(d3, c0, dn, preferred_element_type=f)
+        d_dc = jax.lax.dot_general(d3, dc, dn, preferred_element_type=f)
+        # (TB, S) each
+
+        a = (dx * dx + dy * dy + dz * dz).reshape(tile_b, 1)
+        o_dot_d = (ox * dx + oy * dy + oz * dz).reshape(tile_b, 1)
+        o_sq = (ox * ox + oy * oy + oz * oz).reshape(tile_b, 1)
+
+        w = (time.reshape(tile_b, 1) - t0_row) * invdt_row  # (TB, S)
+
+        d_dot_c = d_c0 + w * d_dc
+        o_dot_c = o_c0 + w * o_dc
+        c_sq = c0_sq + 2.0 * w * c0_dc + w * w * dc_sq
+
+        half_b = o_dot_d - d_dot_c
+        c_term = o_sq - 2.0 * o_dot_c + c_sq - r2_row
+
+        disc = half_b * half_b - a * c_term
+        has_roots = disc > 0.0
+        sqrtd = jnp.sqrt(jnp.where(has_roots, disc, 1.0))
+        inv_a = 1.0 / a
+        root1 = (-half_b - sqrtd) * inv_a
+        root2 = (-half_b + sqrtd) * inv_a
+        root = jnp.where(root1 >= t_min, root1, root2)
+        hit_bs = has_roots & (root >= t_min) & (valid_row > 0.0)
+        t_all = jnp.where(hit_bs, root, _BIG)
+
+        t_best = jnp.min(t_all, axis=1, keepdims=True)       # (TB, 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, t_all.shape, 1)
+        win = jnp.min(jnp.where(t_all == t_best, cols, jnp.int32(0x7FFFFFFF)),
+                      axis=1, keepdims=True)                  # (TB, 1)
+        hit_any = t_best < _BIG
+        onehot = jnp.where((cols == win) & hit_any,
+                           f(1.0), f(0.0))                     # (TB, S)
+
+        # -- winner gather: one (P,S)x(TB,S) MXU matmul ----------------------
+        dng = (((1,), (1,)), ((), ()))  # contract the S axis
+        params = jax.lax.dot_general(tab_ref[:, :], onehot, dng,
+                                     preferred_element_type=f)  # (P, TB)
+
+        def G(r):
+            return params[r:r + 1, :]      # (1, TB)
+
+        t_hit = t_best.reshape(1, tile_b)
+        hit = hit_any.reshape(1, tile_b)
+        t_safe = jnp.where(hit, t_hit, 0.0)
+
+        # miss -> background, terminate (lib.rs:102-105)
+        missf = jnp.where(alive & ~hit, f(1.0), f(0.0))
+        rr_ = rr_ + missf * tpr * bg_r
+        rg_ = rg_ + missf * tpg * bg_g
+        rb_ = rb_ + missf * tpb * bg_b
+        alive = alive & hit
+
+        # -- hit record (ops.sphere.sphere_record) --------------------------
+        px = ox + t_safe * dx
+        py = oy + t_safe * dy
+        pz = oz + t_safe * dz
+        wt = (time - G(_R_T0)) * G(_R_INVDT)
+        cx = G(_R_C0X) + wt * G(_R_DCX)
+        cy = G(_R_C0Y) + wt * G(_R_DCY)
+        cz = G(_R_C0Z) + wt * G(_R_DCZ)
+        inv_r = G(_R_INVR)
+        nx = (px - cx) * inv_r             # outward normal (signed radius)
+        ny = (py - cy) * inv_r
+        nz = (pz - cz) * inv_r
+        d_dot_n = dx * nx + dy * ny + dz * nz
+        front = d_dot_n < 0.0
+        sgn = jnp.where(front, f(1.0), f(-1.0))
+        nx, ny, nz = nx * sgn, ny * sgn, nz * sgn  # front-face flip
+
+        # -- texture (solid / checker; texture.rs:71-80) ---------------------
+        scale = G(_R_TSCALE)
+        sines = (jnp.sin(scale * px) * jnp.sin(scale * py)
+                 * jnp.sin(scale * pz))
+        odd = sines < 0.0
+        is_checker = G(_R_TTYPE) == 1.0
+        use2 = is_checker & odd
+        tex_r = jnp.where(use2, G(_R_C2R), G(_R_C1R))
+        tex_g = jnp.where(use2, G(_R_C2G), G(_R_C1G))
+        tex_b = jnp.where(use2, G(_R_C2B), G(_R_C1B))
+
+        # -- scatter union (materials.scatter) ------------------------------
+        mtype = G(_R_MTYPE)
+        inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + f(1e-20))
+        ux, uy, uz = dx * inv_len, dy * inv_len, dz * inv_len
+
+        # Lambertian (material.rs:42-56)
+        a1, a2, _, _ = _rand4(rid, depth_u, rt_rng.SALT_LAMBERTIAN, seed)
+        svx, svy, svz = _unit_vec(a1, a2)
+        lamx, lamy, lamz = nx + svx, ny + svy, nz + svz
+        nz8 = f(1e-8)
+        degen = ((jnp.abs(lamx) < nz8) & (jnp.abs(lamy) < nz8)
+                 & (jnp.abs(lamz) < nz8))
+        lamx = jnp.where(degen, nx, lamx)
+        lamy = jnp.where(degen, ny, lamy)
+        lamz = jnp.where(degen, nz, lamz)
+
+        # Metal (material.rs:77-95)
+        m1, m2, m3, _ = _rand4(rid, depth_u, rt_rng.SALT_METAL, seed)
+        bx, by, bz = _unit_vec(m1, m2)
+        brad = jnp.exp(jnp.log(jnp.maximum(m3, f(1e-30))) * f(1.0 / 3.0))
+        fuzz = G(_R_FUZZ)
+        u_dot_n = ux * nx + uy * ny + uz * nz
+        metx = ux - 2.0 * u_dot_n * nx + fuzz * bx * brad
+        mety = uy - 2.0 * u_dot_n * ny + fuzz * by * brad
+        metz = uz - 2.0 * u_dot_n * nz + fuzz * bz * brad
+        met_alive = (metx * nx + mety * ny + metz * nz) > 0.0
+
+        # Dielectric (material.rs:115-142)
+        e1, _, _, _ = _rand4(rid, depth_u, rt_rng.SALT_DIELECTRIC, seed)
+        ior = G(_R_IOR)
+        ratio = jnp.where(front, 1.0 / jnp.maximum(ior, f(1e-6)), ior)
+        cos_t = jnp.minimum(-u_dot_n, 1.0)
+        sin_t = jnp.sqrt(jnp.maximum(f(1e-12), 1.0 - cos_t * cos_t))
+        cannot = ratio * sin_t > 1.0
+        r0 = (1.0 - ratio) / (1.0 + ratio)
+        r0 = r0 * r0
+        omc = 1.0 - cos_t
+        omc2 = omc * omc
+        schlick = r0 + (1.0 - r0) * omc2 * omc2 * omc
+        choose_reflect = cannot | (schlick > e1)
+        # refract (vec3.rs:144-151)
+        rpx = ratio * (ux + cos_t * nx)
+        rpy = ratio * (uy + cos_t * ny)
+        rpz = ratio * (uz + cos_t * nz)
+        rp_sq = rpx * rpx + rpy * rpy + rpz * rpz
+        par_m = -jnp.sqrt(jnp.maximum(f(1e-12), jnp.abs(1.0 - rp_sq)))
+        refx = rpx + par_m * nx
+        refy = rpy + par_m * ny
+        refz = rpz + par_m * nz
+        diex = jnp.where(choose_reflect, ux - 2.0 * u_dot_n * nx, refx)
+        diey = jnp.where(choose_reflect, uy - 2.0 * u_dot_n * ny, refy)
+        diez = jnp.where(choose_reflect, uz - 2.0 * u_dot_n * nz, refz)
+
+        # Select by material type
+        is_met = mtype == 1.0
+        is_die = mtype == 2.0
+        is_light = mtype == 3.0
+        ndx = jnp.where(is_met, metx, jnp.where(is_die, diex, lamx))
+        ndy = jnp.where(is_met, mety, jnp.where(is_die, diey, lamy))
+        ndz = jnp.where(is_met, metz, jnp.where(is_die, diez, lamz))
+
+        att_r = jnp.where(is_die, 1.0, jnp.where(is_light, 0.0, tex_r))
+        att_g = jnp.where(is_die, 1.0, jnp.where(is_light, 0.0, tex_g))
+        att_b = jnp.where(is_die, 1.0, jnp.where(is_light, 0.0, tex_b))
+
+        lightf = jnp.where(alive & is_light, f(1.0), f(0.0))
+        rr_ = rr_ + lightf * tpr * tex_r   # emitted (light_source.rs:22-24)
+        rg_ = rg_ + lightf * tpg * tex_g
+        rb_ = rb_ + lightf * tpb * tex_b
+        tpr = jnp.where(alive, tpr * att_r, tpr)
+        tpg = jnp.where(alive, tpg * att_g, tpg)
+        tpb = jnp.where(alive, tpb * att_b, tpb)
+        # select over i1 vectors is unsupported in Mosaic; use bool algebra
+        sc_alive = (is_met & met_alive) | (~is_met & ~is_light)
+        alive = alive & sc_alive
+
+        ox = jnp.where(alive, px, ox)
+        oy = jnp.where(alive, py, oy)
+        oz = jnp.where(alive, pz, oz)
+        dx = jnp.where(alive, ndx, dx)
+        dy = jnp.where(alive, ndy, dy)
+        dz = jnp.where(alive, ndz, dz)
+        return (i + 1, ox, oy, oz, dx, dy, dz, tpr, tpg, tpb,
+                rr_, rg_, rb_, jnp.where(alive, f(1.0), f(0.0)), seg)
+
+    st = jax.lax.while_loop(cond, body, bounce_state())
+    (_, _, _, _, _, _, _, _, _, _, rr_, rg_, rb_, _, seg) = st
+
+    rad_ref[0:1, :] = rr_
+    rad_ref[1:2, :] = rg_
+    rad_ref[2:3, :] = rb_
+    seg_ref[:, :] = seg  # f32 counts; cast to int32 outside the kernel
+
+
+# --------------------------------------------------------------------------
+# Host-side wrapper
+# --------------------------------------------------------------------------
+
+def _build_table(scene: SceneData, s_pad: int) -> Array:
+    """Assemble the (P_ROWS, s_pad) per-sphere gather table."""
+    sp = scene.spheres
+    mt = scene.materials
+    tx = scene.textures
+    S = sp.radius.shape[0]
+
+    mat = sp.mat
+    tid = mt.tex[mat]
+    valid = sp.valid
+    validf = valid.astype(jnp.float32)
+    dt = sp.t1 - sp.t0
+    inv_dt = jnp.where(valid, 1.0 / jnp.where(dt == 0, 1.0, dt), 0.0)
+    inv_r = jnp.where(valid, 1.0 / jnp.where(sp.radius == 0, 1.0, sp.radius),
+                      0.0)
+    dc = sp.c1 - sp.c0
+    c1c = tx.color1[tid]
+    c2c = tx.color2[tid]
+
+    rows = [
+        sp.c0[:, 0], sp.c0[:, 1], sp.c0[:, 2],
+        dc[:, 0], dc[:, 1], dc[:, 2],
+        sp.t0, inv_dt,
+        sp.radius * sp.radius, validf,
+        inv_r,
+        mt.mtype[mat].astype(jnp.float32),
+        mt.fuzz[mat], mt.ior[mat],
+        tx.ttype[tid].astype(jnp.float32),
+        c1c[:, 0], c1c[:, 1], c1c[:, 2],
+        c2c[:, 0], c2c[:, 1], c2c[:, 2],
+        tx.scale[tid],
+    ]
+    tab = jnp.stack(rows, axis=0).astype(jnp.float32)     # (22, S)
+    tab = jnp.pad(tab, ((0, P_ROWS - tab.shape[0]), (0, s_pad - S)))
+    return tab
+
+
+def _pack_par(scene: SceneData, cam: Camera) -> Array:
+    parts = [
+        cam.origin, cam.lower_left, cam.horizontal, cam.vertical,
+        cam.u, cam.v,
+        jnp.stack([cam.lens_radius, cam.time0, cam.time1 - cam.time0]),
+        scene.background,
+    ]
+    return jnp.concatenate(parts).astype(jnp.float32).reshape(1, 24)
+
+
+def _tile_b(s_pad: int) -> int:
+    """Ray-tile size: keep ~10 live (TILE_B, S) f32 arrays within ~12 MB."""
+    budget = 12 * 1024 * 1024 // (10 * 4 * s_pad)
+    return int(max(128, min(512, (budget // 128) * 128)))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_chunk", "interpret"))
+def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
+                 lane_start, n_chunk: int, seed,
+                 interpret: bool = False) -> tuple[Array, Array]:
+    """Render lanes [lane_start, lane_start + n_chunk) fully fused.
+
+    Returns (radiance (n_chunk, 3) f32, segments (n_chunk,) int32) — per-lane
+    radiance estimates (lane = pixel * spp + sample) and traced-segment
+    counts. Caller accumulates lanes into the film.
+    """
+    S = scene.spheres.radius.shape[0]
+    s_pad = _round_up(max(S, 128), 128)
+    tile_b = _tile_b(s_pad)
+    b_pad = _round_up(max(n_chunk, tile_b), tile_b)
+    grid = (b_pad // tile_b,)
+
+    tab = _build_table(scene, s_pad)
+    par = _pack_par(scene, cam)
+    ipar = jnp.stack([
+        jnp.asarray(lane_start, jnp.int32),
+        jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
+        jnp.asarray(n_chunk, jnp.int32),
+        jnp.int32(0),
+    ]).reshape(1, 4)
+
+    # Per-lane film coordinates (bottom-up rows, _pixel_rays semantics),
+    # computed with XLA int ops: Mosaic lacks i64 for div-by-constant.
+    lane = (jnp.asarray(lane_start, jnp.int32)
+            + jnp.arange(b_pad, dtype=jnp.int32))
+    pix = lane // cfg.samples_per_pixel
+    col_f = (pix % cfg.width).astype(jnp.float32)
+    row_f = (cfg.height - 1 - pix // cfg.width).astype(jnp.float32)
+    colrow = jnp.stack([col_f, row_f], axis=0)  # (2, b_pad)
+
+    kernel = functools.partial(
+        _kernel, width=cfg.width, height=cfg.height,
+        spp=cfg.samples_per_pixel, max_depth=cfg.max_depth,
+        t_min=cfg.t_min, tile_b=tile_b)
+
+    out_rad = pl.BlockSpec((3, tile_b), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    out_seg = pl.BlockSpec((1, tile_b), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+
+    rad, seg = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, tile_b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P_ROWS, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_rad, out_seg],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=cfg.max_depth * b_pad * s_pad * 60,
+            bytes_accessed=(4 * b_pad * 4) + P_ROWS * s_pad * 4,
+            transcendentals=cfg.max_depth * b_pad * 24,
+        ),
+        interpret=interpret,
+    )(par, ipar, colrow, tab)
+
+    return rad[:, :n_chunk].T, seg[0, :n_chunk].astype(jnp.int32)
+
+
+def fused_supported(static: SceneStatic, cfg: RenderConfig) -> bool:
+    """The fused megakernel handles this (scene, config)."""
+    return (static.fused_simple
+            and static.n_spheres <= 8192
+            and cfg.width > 1 and cfg.height > 1)

@@ -493,11 +493,25 @@ class _Compiler:
             background=jnp.asarray(background, jnp.float32),
             sphere_bvh=sphere_bvh, triangle_bvh=triangle_bvh,
         )
+        # Fused-megakernel eligibility: sphere-only scene whose sphere
+        # materials are Lambertian/Metal/Dielectric/DiffuseLight over
+        # solid/checker textures (ops.pallas.megakernel scope).
+        fused_simple = False
+        if n_spheres and not (n_rects or n_tris or n_vols):
+            sph_mats = np.asarray(spheres.mat)[np.asarray(spheres.valid)]
+            mtypes = np.asarray(materials.mtype)[sph_mats]
+            ttypes = np.asarray(textures.ttype)[np.asarray(materials.tex)[sph_mats]]
+            fused_simple = bool(
+                np.all(np.isin(mtypes, (0, 1, 2, 3)))
+                and np.all(np.isin(ttypes, (0, 1)))
+            )
+
         static = SceneStatic(
             n_spheres=n_spheres, n_rects=n_rects, n_triangles=n_tris,
             n_volumes=n_vols, has_noise=has_noise, has_image=has_image,
             sphere_bvh=sphere_bvh is not None,
             triangle_bvh=triangle_bvh is not None,
+            fused_simple=fused_simple,
         )
         return data, static
 

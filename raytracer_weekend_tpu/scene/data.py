@@ -145,3 +145,7 @@ class SceneStatic:
     # Set when a BVH is attached for the family (round-1: brute force only).
     sphere_bvh: bool = False
     triangle_bvh: bool = False
+    # Scene qualifies for the fused single-kernel path
+    # (ops.pallas.megakernel): spheres only, Lambertian/Metal/Dielectric/
+    # DiffuseLight materials, solid/checker textures.
+    fused_simple: bool = False

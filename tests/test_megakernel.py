@@ -1,0 +1,97 @@
+"""Fused megakernel (ops.pallas.megakernel) vs the staged wavefront path.
+
+The megakernel re-implements the whole estimator — primary-ray generation
+(camera.rs:66-74), sphere intersection (spherical.rs:18-60), scatter
+(material.rs) — inside one Pallas kernel with an in-kernel PCG4D that must
+reproduce rng.rand4 streams bit-for-bit. These tests pin that equivalence in
+interpret mode on CPU; a handful of lanes may flip winners on near-tangent
+hits (float reassociation between XLA and the kernel's op order), so the
+comparison is segment-exact + per-lane with a small outlier allowance.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracer_weekend_tpu import integrator
+from raytracer_weekend_tpu.config import RenderConfig
+from raytracer_weekend_tpu.models.scenes import jumpy_balls, two_spheres, cornell_box
+from raytracer_weekend_tpu.ops.pallas.megakernel import (
+    fused_supported, render_fused)
+from raytracer_weekend_tpu.scene import builder as B
+
+
+def _compare(scenef, kw, width=32, height=18, spp=4, depth=6, seed=3):
+    cfg = RenderConfig(width=width, height=height, samples_per_pixel=spp,
+                       max_depth=depth, seed=seed, use_pallas=False)
+    objs, cams, bg = scenef(cfg.aspect_ratio, **kw)
+    scene, static = B.build_scene(objs, background=bg, seed=cfg.seed)
+    assert static.fused_simple and fused_supported(static, cfg)
+
+    n = cfg.n_rays
+    ids = jnp.arange(n, dtype=jnp.int32)
+    seed_u = jnp.uint32(cfg.seed)
+    o, d, t, rid = integrator._pixel_rays(cams[0], cfg, ids, seed_u)
+    ref, ref_seg = integrator.trace_rays(scene, static, cfg, o, d, t, rid,
+                                         seed_u, return_stats=True)
+    got, seg = render_fused(scene, cfg, cams[0], 0, n, seed_u,
+                            interpret=True)
+    return np.asarray(ref), int(ref_seg), np.asarray(got), np.asarray(seg), n
+
+
+def test_two_spheres_bitexact():
+    ref, ref_seg, got, seg, n = _compare(two_spheres, {})
+    assert int(seg.sum()) == ref_seg
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_jumpy_balls_matches_staged_path():
+    ref, ref_seg, got, seg, n = _compare(jumpy_balls, {"seed": 0})
+    # identical live-segment counts: same hit/miss/termination decisions
+    assert int(seg.sum()) == ref_seg
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-3)
+    bad_lanes = np.unique(np.argwhere(rel > 0.05)[:, 0])
+    assert len(bad_lanes) <= max(4, n // 100)   # near-tangent winner flips
+    assert np.abs(got - ref).mean() < 1e-3
+
+
+def test_chunked_equals_whole():
+    """lane_start/n_chunk slicing must not change any lane's stream."""
+    cfg = RenderConfig(width=16, height=9, samples_per_pixel=4, max_depth=4,
+                       seed=7, use_pallas=False)
+    objs, cams, bg = two_spheres(cfg.aspect_ratio)
+    scene, static = B.build_scene(objs, background=bg, seed=cfg.seed)
+    n = cfg.n_rays
+    seed_u = jnp.uint32(cfg.seed)
+    whole, _ = render_fused(scene, cfg, cams[0], 0, n, seed_u, interpret=True)
+    half = n // 2
+    a, _ = render_fused(scene, cfg, cams[0], 0, half, seed_u, interpret=True)
+    b, _ = render_fused(scene, cfg, cams[0], half, n - half, seed_u,
+                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(whole),
+                                  np.concatenate([np.asarray(a), np.asarray(b)]))
+
+
+def test_cornell_not_eligible():
+    """Rect/light scenes fall back to the staged wavefront path."""
+    cfg = RenderConfig(width=16, height=16, samples_per_pixel=1, max_depth=2)
+    objs, cams, bg = cornell_box(1.0)
+    _, static = B.build_scene(objs, background=bg)
+    assert not static.fused_simple
+    assert not fused_supported(static, cfg)
+
+
+def test_render_image_fused_dispatch(monkeypatch):
+    """render_image with use_pallas=True routes through the megakernel on CPU
+    (interpret) and matches the staged image."""
+    cfg_f = RenderConfig(width=16, height=9, samples_per_pixel=2, max_depth=4,
+                         seed=1, use_pallas=True)
+    cfg_s = RenderConfig(width=16, height=9, samples_per_pixel=2, max_depth=4,
+                         seed=1, use_pallas=False)
+    objs, cams, bg = two_spheres(cfg_f.aspect_ratio)
+    scene, static = B.build_scene(objs, background=bg, seed=1)
+    assert integrator.fused_eligible(static, cfg_f)
+    img_f = integrator.render_image(scene, static, cfg_f, cams[0])
+    img_s = integrator.render_image(scene, static, cfg_s, cams[0])
+    np.testing.assert_allclose(np.asarray(img_f), np.asarray(img_s),
+                               rtol=1e-5, atol=1e-5)
