@@ -9,8 +9,9 @@ jnp shading — spends ~90% of the frame in XLA glue between kernels
     per ray tile (TILE_B lanes, VMEM-resident):
       primary ray generation    (camera.rs:66-74 semantics, in-kernel PCG4D)
       depth loop (early-exits when the whole tile is dead):
-        sphere intersection     (spherical.rs:18-60, MXU pairwise dots)
-        winner one-hot gather   (one (P,S)x(S,TILE_B) MXU matmul)
+        sphere intersection     (spherical.rs:18-60, quadratic coefficients
+                                 produced by two MXU matmuls — see below)
+        winner one-hot gather   (one (P,S)x(TB,S) MXU matmul)
         hit record + shading    (material.rs scatter union, VPU)
       write radiance + per-lane segment counts
 
@@ -20,14 +21,34 @@ solid/checker-textured Lambertian/Metal/Dielectric/DiffuseLight materials —
 exactly the "One Weekend" headline workloads (jumpy_balls, two_spheres).
 Scenes outside this subset use the staged wavefront path (integrator.py).
 
+Affine-center intersection (the perf trick): a moving sphere's center
+(spherical.rs:117-123, lerp between c0@t0 and c1@t1) is affine in the ray's
+shutter time:  c(time) = alpha + time * beta  with  alpha = c0 - t0*invdt*dc,
+beta = invdt*dc  (static spheres: beta = 0). The ray-sphere quadratic
+  half_b  = o.d - d.c(time)
+  c_term  = |o - c(time)|^2 - r^2
+is then *linear* in the per-lane feature vectors [d, time*d] and
+[o, time*o, 1, time, time^2] with per-sphere coefficient rows
+[alpha, beta] and [-2 alpha, -2 beta, |alpha|^2 - r^2, 2 alpha.beta,
+|beta|^2]. Two dot_generals against the (rows, S) table produce the full
+(TILE_B, S) coefficient planes on the MXU, replacing ~18 VPU ops per plane
+element of the naive formulation. Root selection is done in the scaled
+domain -t*a (a = |d|^2 > 0), avoiding two full-plane divides; the winner
+one-hot is an equality test against the plane max (float-exact ties between
+distinct spheres have measure zero; padded slots carry k0 = +1e30 so their
+discriminant is always negative, which also removes the per-plane validity
+mask).
+
 RNG parity: the in-kernel PCG4D reproduces rng.rand4 streams bit-for-bit
 (same (seed, ray_id, depth, salt) keying), so the fused image equals the
-staged image up to float-op reassociation.
+staged image up to float-op reassociation (the MXU-factored quadratic
+rounds differently on near-tangent hits; tests allow a small flip budget).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,21 +61,26 @@ from raytracer_weekend_tpu.camera import Camera
 from raytracer_weekend_tpu.config import RenderConfig
 from raytracer_weekend_tpu.scene.data import SceneData, SceneStatic
 
-_BIG = 3.0e38  # stand-in for +inf inside the kernel
+_BIG = 3.0e38   # stand-in for +inf inside the kernel
+_K0_INVALID = 1.0e30  # padded-slot k0: forces disc < 0 for any real ray
 
-# Gather-table row layout (P_ROWS x S). One MXU matmul against the winner
-# one-hot reconstructs every per-hit quantity.
-_R_C0X, _R_C0Y, _R_C0Z = 0, 1, 2
-_R_DCX, _R_DCY, _R_DCZ = 3, 4, 5
-_R_T0, _R_INVDT = 6, 7
-_R_R2, _R_VALID = 8, 9
-_R_INVR = 10
-_R_MTYPE, _R_FUZZ, _R_IOR = 11, 12, 13
-_R_TTYPE = 14
-_R_C1R, _R_C1G, _R_C1B = 15, 16, 17
-_R_C2R, _R_C2G, _R_C2B = 18, 19, 20
-_R_TSCALE = 21
-P_ROWS = 24  # padded to a sublane multiple
+# Gather/coefficient table row layout (P_ROWS x S). Rows 0:6 feed the
+# half_b matmul, rows 6:15 the c_term matmul; one MXU matmul of the whole
+# table against the winner one-hot reconstructs every per-hit quantity.
+_R_AX, _R_AY, _R_AZ = 0, 1, 2        # alpha (effective center at time=0)
+_R_BX, _R_BY, _R_BZ = 3, 4, 5        # beta  (center velocity in time)
+_R_M2AX, _R_M2AY, _R_M2AZ = 6, 7, 8  # -2*alpha
+_R_M2BX, _R_M2BY, _R_M2BZ = 9, 10, 11  # -2*beta
+_R_K0 = 12                           # |alpha|^2 - r^2 (invalid: +1e30)
+_R_K1 = 13                           # 2 alpha.beta
+_R_K2 = 14                           # |beta|^2
+_R_INVR = 15
+_R_MTYPE, _R_FUZZ, _R_IOR = 16, 17, 18
+_R_TTYPE = 19
+_R_C1R, _R_C1G, _R_C1B = 20, 21, 22
+_R_C2R, _R_C2G, _R_C2B = 23, 24, 25
+_R_TSCALE = 26
+P_ROWS = 32  # padded to a sublane multiple
 
 _TWO_PI = 6.283185307179586
 
@@ -168,24 +194,13 @@ def _kernel(par_ref, ipar_ref, colrow_ref, tab_ref, rad_ref, seg_ref, *,
 
     bg_r, bg_g, bg_b = P(21), P(22), P(23)
 
-    # ---- table rows (VMEM-resident across the whole depth loop) -----------
-    c0 = tab_ref[_R_C0X:_R_C0Z + 1, :]       # (3, S)
-    dc = tab_ref[_R_DCX:_R_DCZ + 1, :]
-    t0_row = tab_ref[_R_T0:_R_T0 + 1, :]     # (1, S)
-    invdt_row = tab_ref[_R_INVDT:_R_INVDT + 1, :]
-    r2_row = tab_ref[_R_R2:_R_R2 + 1, :]
-    valid_row = tab_ref[_R_VALID:_R_VALID + 1, :]
-
-    # Per-sphere scalars, hoisted out of the depth loop.
-    c0_sq = jnp.sum(c0 * c0, axis=0, keepdims=True)   # (1, S)
-    c0_dc = jnp.sum(c0 * dc, axis=0, keepdims=True)
-    dc_sq = jnp.sum(dc * dc, axis=0, keepdims=True)
-
+    # Loop-invariant per-lane feature rows for the c_term matmul.
     # Derive the 0/1 init vectors from loaded data, not jnp.zeros/ones:
     # broadcast constants carry a replicated layout that Mosaic cannot
     # reconcile with concrete loop-carried layouts ("Sublane broadcast").
     zero_f = col * 0.0
     one_f = zero_f + 1.0
+    time2 = time * time
 
     def bounce_state():
         # `alive`/`seg` are carried as f32 0/1 masks and counts: Mosaic
@@ -206,47 +221,43 @@ def _kernel(par_ref, ipar_ref, colrow_ref, tab_ref, rad_ref, seg_ref, *,
         seg = seg + alive_m
         depth_u = jax.lax.bitcast_convert_type(lane * 0 + i, jnp.uint32)
 
-        # -- intersection: all pairwise ray-sphere dots on the MXU ----------
-        o3 = jnp.concatenate([ox, oy, oz], axis=0)   # (3, TB)
-        d3 = jnp.concatenate([dx, dy, dz], axis=0)
-
-        dn = (((0,), (0,)), ((), ()))  # contract the 3-axis
-        o_c0 = jax.lax.dot_general(o3, c0, dn, preferred_element_type=f)
-        o_dc = jax.lax.dot_general(o3, dc, dn, preferred_element_type=f)
-        d_c0 = jax.lax.dot_general(d3, c0, dn, preferred_element_type=f)
-        d_dc = jax.lax.dot_general(d3, dc, dn, preferred_element_type=f)
-        # (TB, S) each
+        # -- intersection: quadratic coefficients on the MXU ----------------
+        # half_b = o.d - d.c(time);  c_term = |o - c(time)|^2 - r^2, with
+        # c(time) = alpha + time*beta affine in the per-lane shutter time.
+        f1 = jnp.concatenate([dx, dy, dz,
+                              time * dx, time * dy, time * dz], axis=0)
+        f2 = jnp.concatenate([ox, oy, oz,
+                              time * ox, time * oy, time * oz,
+                              one_f, time, time2], axis=0)
+        dn = (((0,), (0,)), ((), ()))  # contract the feature axis
+        m1 = jax.lax.dot_general(f1, tab_ref[_R_AX:_R_BZ + 1, :], dn,
+                                 preferred_element_type=f)   # d.c  (TB, S)
+        m2 = jax.lax.dot_general(f2, tab_ref[_R_M2AX:_R_K2 + 1, :], dn,
+                                 preferred_element_type=f)   # (TB, S)
 
         a = (dx * dx + dy * dy + dz * dz).reshape(tile_b, 1)
         o_dot_d = (ox * dx + oy * dy + oz * dz).reshape(tile_b, 1)
         o_sq = (ox * ox + oy * oy + oz * oz).reshape(tile_b, 1)
+        neg_tmin_a = f(-t_min) * a
 
-        w = (time.reshape(tile_b, 1) - t0_row) * invdt_row  # (TB, S)
-
-        d_dot_c = d_c0 + w * d_dc
-        o_dot_c = o_c0 + w * o_dc
-        c_sq = c0_sq + 2.0 * w * c0_dc + w * w * dc_sq
-
-        half_b = o_dot_d - d_dot_c
-        c_term = o_sq - 2.0 * o_dot_c + c_sq - r2_row
-
+        half_b = o_dot_d - m1
+        c_term = o_sq + m2
         disc = half_b * half_b - a * c_term
         has_roots = disc > 0.0
         sqrtd = jnp.sqrt(jnp.where(has_roots, disc, 1.0))
-        inv_a = 1.0 / a
-        root1 = (-half_b - sqrtd) * inv_a
-        root2 = (-half_b + sqrtd) * inv_a
-        root = jnp.where(root1 >= t_min, root1, root2)
-        hit_bs = has_roots & (root >= t_min) & (valid_row > 0.0)
-        t_all = jnp.where(hit_bs, root, _BIG)
+        # Scaled-root domain: root_k = -p_k / a with a > 0, so comparisons
+        # and the nearest-hit reduction run on p_k directly (no divides):
+        # root >= t_min  <=>  p <= -t_min*a;  min_t  <=>  max_p.
+        p1 = half_b + sqrtd          # ~ -a * root1  (near root)
+        p2 = half_b - sqrtd          # ~ -a * root2  (far root)
+        sel = jnp.where(p1 <= neg_tmin_a, p1, p2)
+        hit_bs = has_roots & (sel <= neg_tmin_a)
+        tn_all = jnp.where(hit_bs, sel, f(-_BIG))            # (TB, S)
 
-        t_best = jnp.min(t_all, axis=1, keepdims=True)       # (TB, 1)
-        cols = jax.lax.broadcasted_iota(jnp.int32, t_all.shape, 1)
-        win = jnp.min(jnp.where(t_all == t_best, cols, jnp.int32(0x7FFFFFFF)),
-                      axis=1, keepdims=True)                  # (TB, 1)
-        hit_any = t_best < _BIG
-        onehot = jnp.where((cols == win) & hit_any,
-                           f(1.0), f(0.0))                     # (TB, S)
+        tn_best = jnp.max(tn_all, axis=1, keepdims=True)     # (TB, 1)
+        hit_any = tn_best > f(-1.0e37)
+        onehot = jnp.where((tn_all == tn_best) & hit_any,
+                           f(1.0), f(0.0))                    # (TB, S)
 
         # -- winner gather: one (P,S)x(TB,S) MXU matmul ----------------------
         dng = (((1,), (1,)), ((), ()))  # contract the S axis
@@ -256,7 +267,8 @@ def _kernel(par_ref, ipar_ref, colrow_ref, tab_ref, rad_ref, seg_ref, *,
         def G(r):
             return params[r:r + 1, :]      # (1, TB)
 
-        t_hit = t_best.reshape(1, tile_b)
+        inv_a = 1.0 / a
+        t_hit = (-tn_best * inv_a).reshape(1, tile_b)
         hit = hit_any.reshape(1, tile_b)
         t_safe = jnp.where(hit, t_hit, 0.0)
 
@@ -271,10 +283,9 @@ def _kernel(par_ref, ipar_ref, colrow_ref, tab_ref, rad_ref, seg_ref, *,
         px = ox + t_safe * dx
         py = oy + t_safe * dy
         pz = oz + t_safe * dz
-        wt = (time - G(_R_T0)) * G(_R_INVDT)
-        cx = G(_R_C0X) + wt * G(_R_DCX)
-        cy = G(_R_C0Y) + wt * G(_R_DCY)
-        cz = G(_R_C0Z) + wt * G(_R_DCZ)
+        cx = G(_R_AX) + time * G(_R_BX)    # center at this lane's time
+        cy = G(_R_AY) + time * G(_R_BY)
+        cz = G(_R_AZ) + time * G(_R_BZ)
         inv_r = G(_R_INVR)
         nx = (px - cx) * inv_r             # outward normal (signed radius)
         ny = (py - cy) * inv_r
@@ -312,9 +323,9 @@ def _kernel(par_ref, ipar_ref, colrow_ref, tab_ref, rad_ref, seg_ref, *,
         lamz = jnp.where(degen, nz, lamz)
 
         # Metal (material.rs:77-95)
-        m1, m2, m3, _ = _rand4(rid, depth_u, rt_rng.SALT_METAL, seed)
-        bx, by, bz = _unit_vec(m1, m2)
-        brad = jnp.exp(jnp.log(jnp.maximum(m3, f(1e-30))) * f(1.0 / 3.0))
+        m1_, m2_, m3_, _ = _rand4(rid, depth_u, rt_rng.SALT_METAL, seed)
+        bx, by, bz = _unit_vec(m1_, m2_)
+        brad = jnp.exp(jnp.log(jnp.maximum(m3_, f(1e-30))) * f(1.0 / 3.0))
         fuzz = G(_R_FUZZ)
         u_dot_n = ux * nx + uy * ny + uz * nz
         metx = ux - 2.0 * u_dot_n * nx + fuzz * bx * brad
@@ -394,7 +405,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, tab_ref, rad_ref, seg_ref, *,
 # --------------------------------------------------------------------------
 
 def _build_table(scene: SceneData, s_pad: int) -> Array:
-    """Assemble the (P_ROWS, s_pad) per-sphere gather table."""
+    """Assemble the (P_ROWS, s_pad) per-sphere coefficient/gather table."""
     sp = scene.spheres
     mt = scene.materials
     tx = scene.textures
@@ -403,20 +414,26 @@ def _build_table(scene: SceneData, s_pad: int) -> Array:
     mat = sp.mat
     tid = mt.tex[mat]
     valid = sp.valid
-    validf = valid.astype(jnp.float32)
     dt = sp.t1 - sp.t0
     inv_dt = jnp.where(valid, 1.0 / jnp.where(dt == 0, 1.0, dt), 0.0)
     inv_r = jnp.where(valid, 1.0 / jnp.where(sp.radius == 0, 1.0, sp.radius),
                       0.0)
     dc = sp.c1 - sp.c0
+    beta = dc * inv_dt[:, None]                    # center velocity
+    alpha = sp.c0 - sp.t0[:, None] * beta          # center at time 0
+    k0 = jnp.sum(alpha * alpha, axis=1) - sp.radius * sp.radius
+    k0 = jnp.where(valid, k0, _K0_INVALID)         # padded slots never hit
+    k1 = 2.0 * jnp.sum(alpha * beta, axis=1)
+    k2 = jnp.sum(beta * beta, axis=1)
     c1c = tx.color1[tid]
     c2c = tx.color2[tid]
 
     rows = [
-        sp.c0[:, 0], sp.c0[:, 1], sp.c0[:, 2],
-        dc[:, 0], dc[:, 1], dc[:, 2],
-        sp.t0, inv_dt,
-        sp.radius * sp.radius, validf,
+        alpha[:, 0], alpha[:, 1], alpha[:, 2],
+        beta[:, 0], beta[:, 1], beta[:, 2],
+        -2.0 * alpha[:, 0], -2.0 * alpha[:, 1], -2.0 * alpha[:, 2],
+        -2.0 * beta[:, 0], -2.0 * beta[:, 1], -2.0 * beta[:, 2],
+        k0, k1, k2,
         inv_r,
         mt.mtype[mat].astype(jnp.float32),
         mt.fuzz[mat], mt.ior[mat],
@@ -425,8 +442,13 @@ def _build_table(scene: SceneData, s_pad: int) -> Array:
         c2c[:, 0], c2c[:, 1], c2c[:, 2],
         tx.scale[tid],
     ]
-    tab = jnp.stack(rows, axis=0).astype(jnp.float32)     # (22, S)
-    tab = jnp.pad(tab, ((0, P_ROWS - tab.shape[0]), (0, s_pad - S)))
+    tab = jnp.stack(rows, axis=0).astype(jnp.float32)     # (27, S)
+    # Padded columns: zero coefficients except k0, which must stay "invalid".
+    tab = jnp.pad(tab, ((0, P_ROWS - tab.shape[0]), (0, 0)))
+    if s_pad > S:
+        padcol = jnp.zeros((P_ROWS, s_pad - S), jnp.float32)
+        padcol = padcol.at[_R_K0, :].set(_K0_INVALID)
+        tab = jnp.concatenate([tab, padcol], axis=1)
     return tab
 
 
@@ -442,6 +464,9 @@ def _pack_par(scene: SceneData, cam: Camera) -> Array:
 
 def _tile_b(s_pad: int) -> int:
     """Ray-tile size: keep ~10 live (TILE_B, S) f32 arrays within ~12 MB."""
+    env = os.environ.get("RTW_TILE_B")
+    if env:
+        return int(env)
     budget = 12 * 1024 * 1024 // (10 * 4 * s_pad)
     return int(max(128, min(512, (budget // 128) * 128)))
 
@@ -508,7 +533,7 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=cfg.max_depth * b_pad * s_pad * 60,
+            flops=cfg.max_depth * b_pad * s_pad * 40,
             bytes_accessed=(4 * b_pad * 4) + P_ROWS * s_pad * 4,
             transcendentals=cfg.max_depth * b_pad * 24,
         ),
