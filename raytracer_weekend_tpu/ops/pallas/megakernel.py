@@ -64,22 +64,27 @@ from raytracer_weekend_tpu.scene.data import SceneData, SceneStatic
 _BIG = 3.0e38   # stand-in for +inf inside the kernel
 _K0_INVALID = 1.0e30  # padded-slot k0: forces disc < 0 for any real ray
 
-# Gather/coefficient table row layout (P_ROWS x S). Rows 0:6 feed the
-# half_b matmul, rows 6:15 the c_term matmul; one MXU matmul of the whole
-# table against the winner one-hot reconstructs every per-hit quantity.
+# Gather/coefficient table row layout (P_ROWS x S). Rows 0:7 feed the
+# neg-half_b matmul, rows 7:17 the c_term matmul; one MXU matmul of the
+# whole table against the winner one-hot reconstructs every per-hit
+# quantity. The per-ray scalars o.d and |o|^2 ride along as extra features
+# (coefficient -1 / +1 on valid slots) so half_b and c_term come straight
+# off the MXU with no full-plane VPU add/sub.
 _R_AX, _R_AY, _R_AZ = 0, 1, 2        # alpha (effective center at time=0)
 _R_BX, _R_BY, _R_BZ = 3, 4, 5        # beta  (center velocity in time)
-_R_M2AX, _R_M2AY, _R_M2AZ = 6, 7, 8  # -2*alpha
-_R_M2BX, _R_M2BY, _R_M2BZ = 9, 10, 11  # -2*beta
-_R_K0 = 12                           # |alpha|^2 - r^2 (invalid: +1e30)
-_R_K1 = 13                           # 2 alpha.beta
-_R_K2 = 14                           # |beta|^2
-_R_INVR = 15
-_R_MTYPE, _R_FUZZ, _R_IOR = 16, 17, 18
-_R_TTYPE = 19
-_R_C1R, _R_C1G, _R_C1B = 20, 21, 22
-_R_C2R, _R_C2G, _R_C2B = 23, 24, 25
-_R_TSCALE = 26
+_R_ODOTD = 6                         # -1 (valid) / 0 (padded): o.d feature
+_R_M2AX, _R_M2AY, _R_M2AZ = 7, 8, 9  # -2*alpha
+_R_M2BX, _R_M2BY, _R_M2BZ = 10, 11, 12  # -2*beta
+_R_K0 = 13                           # |alpha|^2 - r^2 (invalid: +1e30)
+_R_K1 = 14                           # 2 alpha.beta
+_R_K2 = 15                           # |beta|^2
+_R_OSQ = 16                          # +1 (valid) / 0 (padded): |o|^2 feature
+_R_INVR = 17
+_R_MTYPE, _R_FUZZ, _R_IOR = 18, 19, 20
+_R_TTYPE = 21
+_R_C1R, _R_C1G, _R_C1B = 22, 23, 24
+_R_C2R, _R_C2G, _R_C2B = 25, 26, 27
+_R_TSCALE = 28
 P_ROWS = 32  # padded to a sublane multiple
 
 _TWO_PI = 6.283185307179586
@@ -224,52 +229,57 @@ def _kernel(par_ref, ipar_ref, colrow_ref, tab_ref, rad_ref, seg_ref, *,
         # -- intersection: quadratic coefficients on the MXU ----------------
         # half_b = o.d - d.c(time);  c_term = |o - c(time)|^2 - r^2, with
         # c(time) = alpha + time*beta affine in the per-lane shutter time.
-        f1 = jnp.concatenate([dx, dy, dz,
-                              time * dx, time * dy, time * dz], axis=0)
-        f2 = jnp.concatenate([ox, oy, oz,
-                              time * ox, time * oy, time * oz,
-                              one_f, time, time2], axis=0)
-        dn = (((0,), (0,)), ((), ()))  # contract the feature axis
-        m1 = jax.lax.dot_general(f1, tab_ref[_R_AX:_R_BZ + 1, :], dn,
-                                 preferred_element_type=f)   # d.c  (TB, S)
-        m2 = jax.lax.dot_general(f2, tab_ref[_R_M2AX:_R_K2 + 1, :], dn,
-                                 preferred_element_type=f)   # (TB, S)
-
-        a = (dx * dx + dy * dy + dz * dz).reshape(tile_b, 1)
-        o_dot_d = (ox * dx + oy * dy + oz * dz).reshape(tile_b, 1)
-        o_sq = (ox * ox + oy * oy + oz * oz).reshape(tile_b, 1)
+        # Planes are laid out (S, TB): spheres on sublanes, rays on lanes, so
+        # every per-ray scalar stays a (1, TB) lane vector (free sublane
+        # broadcast) and the winner reduction is a cheap sublane reduction —
+        # no (1,TB)<->(TB,1) cross-lane relayouts anywhere in the loop.
+        a = dx * dx + dy * dy + dz * dz          # (1, TB)
+        o_dot_d = ox * dx + oy * dy + oz * dz    # (1, TB)
+        o_sq = ox * ox + oy * oy + oz * oz       # (1, TB)
         neg_tmin_a = f(-t_min) * a
 
-        half_b = o_dot_d - m1
-        c_term = o_sq + m2
-        disc = half_b * half_b - a * c_term
-        has_roots = disc > 0.0
-        sqrtd = jnp.sqrt(jnp.where(has_roots, disc, 1.0))
+        f1 = jnp.concatenate([dx, dy, dz,
+                              time * dx, time * dy, time * dz,
+                              o_dot_d], axis=0)
+        f2 = jnp.concatenate([ox, oy, oz,
+                              time * ox, time * oy, time * oz,
+                              one_f, time, time2, o_sq], axis=0)
+        dn = (((0,), (0,)), ((), ()))  # contract the feature axis
+        # m1 = d.c(time) - o.d = -half_b;  m2 = c_term  — straight off the
+        # MXU, no plane-sized correction ops.
+        m1 = jax.lax.dot_general(tab_ref[_R_AX:_R_ODOTD + 1, :], f1, dn,
+                                 preferred_element_type=f)   # (S, TB)
+        c_term = jax.lax.dot_general(tab_ref[_R_M2AX:_R_OSQ + 1, :], f2, dn,
+                                     preferred_element_type=f)  # (S, TB)
+
+        disc = m1 * m1 - a * c_term
+        # No explicit disc>0 guard: sqrt(neg) = NaN, NaN comparisons are
+        # false, so misses fall through to -BIG naturally (saves 3 plane ops;
+        # tangent disc==0 now counts as a hit — measure-zero difference).
+        sqrtd = jnp.sqrt(disc)
         # Scaled-root domain: root_k = -p_k / a with a > 0, so comparisons
         # and the nearest-hit reduction run on p_k directly (no divides):
         # root >= t_min  <=>  p <= -t_min*a;  min_t  <=>  max_p.
-        p1 = half_b + sqrtd          # ~ -a * root1  (near root)
-        p2 = half_b - sqrtd          # ~ -a * root2  (far root)
+        p1 = sqrtd - m1              # ~ -a * root1  (near root)
+        p2 = -sqrtd - m1             # ~ -a * root2  (far root)
         sel = jnp.where(p1 <= neg_tmin_a, p1, p2)
-        hit_bs = has_roots & (sel <= neg_tmin_a)
-        tn_all = jnp.where(hit_bs, sel, f(-_BIG))            # (TB, S)
+        hit_bs = sel <= neg_tmin_a
+        tn_all = jnp.where(hit_bs, sel, f(-_BIG))            # (S, TB)
 
-        tn_best = jnp.max(tn_all, axis=1, keepdims=True)     # (TB, 1)
-        hit_any = tn_best > f(-1.0e37)
-        onehot = jnp.where((tn_all == tn_best) & hit_any,
-                           f(1.0), f(0.0))                    # (TB, S)
+        tn_best = jnp.max(tn_all, axis=0, keepdims=True)     # (1, TB)
+        hit = tn_best > f(-1.0e37)                           # (1, TB)
+        onehot = jnp.where((tn_all == tn_best) & hit,
+                           f(1.0), f(0.0))                    # (S, TB)
 
-        # -- winner gather: one (P,S)x(TB,S) MXU matmul ----------------------
-        dng = (((1,), (1,)), ((), ()))  # contract the S axis
+        # -- winner gather: one (P,S)x(S,TB) MXU matmul ----------------------
+        dng = (((1,), (0,)), ((), ()))  # contract the S axis
         params = jax.lax.dot_general(tab_ref[:, :], onehot, dng,
                                      preferred_element_type=f)  # (P, TB)
 
         def G(r):
             return params[r:r + 1, :]      # (1, TB)
 
-        inv_a = 1.0 / a
-        t_hit = (-tn_best * inv_a).reshape(1, tile_b)
-        hit = hit_any.reshape(1, tile_b)
+        t_hit = -tn_best / a
         t_safe = jnp.where(hit, t_hit, 0.0)
 
         # miss -> background, terminate (lib.rs:102-105)
@@ -428,12 +438,16 @@ def _build_table(scene: SceneData, s_pad: int) -> Array:
     c1c = tx.color1[tid]
     c2c = tx.color2[tid]
 
+    odotd_c = jnp.where(valid, -1.0, 0.0)   # o.d feature coeff (-> -half_b)
+    osq_c = jnp.where(valid, 1.0, 0.0)      # |o|^2 feature coeff (-> c_term)
     rows = [
         alpha[:, 0], alpha[:, 1], alpha[:, 2],
         beta[:, 0], beta[:, 1], beta[:, 2],
+        odotd_c,
         -2.0 * alpha[:, 0], -2.0 * alpha[:, 1], -2.0 * alpha[:, 2],
         -2.0 * beta[:, 0], -2.0 * beta[:, 1], -2.0 * beta[:, 2],
         k0, k1, k2,
+        osq_c,
         inv_r,
         mt.mtype[mat].astype(jnp.float32),
         mt.fuzz[mat], mt.ior[mat],
@@ -442,7 +456,7 @@ def _build_table(scene: SceneData, s_pad: int) -> Array:
         c2c[:, 0], c2c[:, 1], c2c[:, 2],
         tx.scale[tid],
     ]
-    tab = jnp.stack(rows, axis=0).astype(jnp.float32)     # (27, S)
+    tab = jnp.stack(rows, axis=0).astype(jnp.float32)     # (29, S)
     # Padded columns: zero coefficients except k0, which must stay "invalid".
     tab = jnp.pad(tab, ((0, P_ROWS - tab.shape[0]), (0, 0)))
     if s_pad > S:
@@ -472,10 +486,12 @@ def _tile_b(s_pad: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "n_chunk", "interpret"))
+                   static_argnames=("cfg", "n_chunk", "interpret",
+                                    "tile_override"))
 def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  lane_start, n_chunk: int, seed,
-                 interpret: bool = False) -> tuple[Array, Array]:
+                 interpret: bool = False,
+                 tile_override: int | None = None) -> tuple[Array, Array]:
     """Render lanes [lane_start, lane_start + n_chunk) fully fused.
 
     Returns (radiance (n_chunk, 3) f32, segments (n_chunk,) int32) — per-lane
@@ -484,7 +500,7 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     """
     S = scene.spheres.radius.shape[0]
     s_pad = _round_up(max(S, 128), 128)
-    tile_b = _tile_b(s_pad)
+    tile_b = tile_override or _tile_b(s_pad)
     b_pad = _round_up(max(n_chunk, tile_b), tile_b)
     grid = (b_pad // tile_b,)
 
