@@ -150,7 +150,7 @@ def _unit_vec(u1, u2):
 
 def _kernel(par_ref, ipar_ref, colrow_ref, tab_ref, rad_ref, seg_ref, *,
             width: int, height: int, spp: int, max_depth: int,
-            t_min: float, tile_b: int):
+            t_min: float, tile_b: int, ablate: str = ""):
     f = jnp.float32
 
     def P(i):  # camera/background scalar
@@ -272,12 +272,16 @@ def _kernel(par_ref, ipar_ref, colrow_ref, tab_ref, rad_ref, seg_ref, *,
                            f(1.0), f(0.0))                    # (S, TB)
 
         # -- winner gather: one (P,S)x(S,TB) MXU matmul ----------------------
-        dng = (((1,), (0,)), ((), ()))  # contract the S axis
-        params = jax.lax.dot_general(tab_ref[:, :], onehot, dng,
-                                     preferred_element_type=f)  # (P, TB)
+        if "nogather" in ablate:  # timing ablation: constant hit params
+            def G(r):
+                return one_f * 0.5
+        else:
+            dng = (((1,), (0,)), ((), ()))  # contract the S axis
+            params = jax.lax.dot_general(tab_ref[:, :], onehot, dng,
+                                         preferred_element_type=f)  # (P, TB)
 
-        def G(r):
-            return params[r:r + 1, :]      # (1, TB)
+            def G(r):
+                return params[r:r + 1, :]      # (1, TB)
 
         t_hit = -tn_best / a
         t_safe = jnp.where(hit, t_hit, 0.0)
@@ -331,6 +335,20 @@ def _kernel(par_ref, ipar_ref, colrow_ref, tab_ref, rad_ref, seg_ref, *,
         lamx = jnp.where(degen, nx, lamx)
         lamy = jnp.where(degen, ny, lamy)
         lamz = jnp.where(degen, nz, lamz)
+
+        if "noshade" in ablate:  # timing ablation: lambertian-for-all
+            alive2 = alive
+            ox = jnp.where(alive2, px, ox)
+            oy = jnp.where(alive2, py, oy)
+            oz = jnp.where(alive2, pz, oz)
+            dx = jnp.where(alive2, lamx, dx)
+            dy = jnp.where(alive2, lamy, dy)
+            dz = jnp.where(alive2, lamz, dz)
+            tpr = jnp.where(alive2, tpr * tex_r, tpr)
+            tpg = jnp.where(alive2, tpg * tex_g, tpg)
+            tpb = jnp.where(alive2, tpb * tex_b, tpb)
+            return (i + 1, ox, oy, oz, dx, dy, dz, tpr, tpg, tpb,
+                    rr_, rg_, rb_, jnp.where(alive2, f(1.0), f(0.0)), seg)
 
         # Metal (material.rs:77-95)
         m1_, m2_, m3_, _ = _rand4(rid, depth_u, rt_rng.SALT_METAL, seed)
@@ -463,6 +481,8 @@ def _build_table(scene: SceneData, s_pad: int) -> Array:
         padcol = jnp.zeros((P_ROWS, s_pad - S), jnp.float32)
         padcol = padcol.at[_R_K0, :].set(_K0_INVALID)
         tab = jnp.concatenate([tab, padcol], axis=1)
+    elif s_pad < S:  # timing-ablation only: truncated table, wrong image
+        tab = tab[:, :s_pad]
     return tab
 
 
@@ -487,11 +507,14 @@ def _tile_b(s_pad: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_chunk", "interpret",
-                                    "tile_override"))
+                                    "tile_override", "s_pad_override",
+                                    "ablate"))
 def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  lane_start, n_chunk: int, seed,
                  interpret: bool = False,
-                 tile_override: int | None = None) -> tuple[Array, Array]:
+                 tile_override: int | None = None,
+                 s_pad_override: int | None = None,
+                 ablate: str = "") -> tuple[Array, Array]:
     """Render lanes [lane_start, lane_start + n_chunk) fully fused.
 
     Returns (radiance (n_chunk, 3) f32, segments (n_chunk,) int32) — per-lane
@@ -499,7 +522,7 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     counts. Caller accumulates lanes into the film.
     """
     S = scene.spheres.radius.shape[0]
-    s_pad = _round_up(max(S, 128), 128)
+    s_pad = s_pad_override or _round_up(max(S, 128), 128)
     tile_b = tile_override or _tile_b(s_pad)
     b_pad = _round_up(max(n_chunk, tile_b), tile_b)
     grid = (b_pad // tile_b,)
@@ -525,7 +548,7 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     kernel = functools.partial(
         _kernel, width=cfg.width, height=cfg.height,
         spp=cfg.samples_per_pixel, max_depth=cfg.max_depth,
-        t_min=cfg.t_min, tile_b=tile_b)
+        t_min=cfg.t_min, tile_b=tile_b, ablate=ablate)
 
     out_rad = pl.BlockSpec((3, tile_b), lambda i: (0, i),
                            memory_space=pltpu.VMEM)
