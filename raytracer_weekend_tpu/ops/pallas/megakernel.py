@@ -497,12 +497,17 @@ def _pack_par(scene: SceneData, cam: Camera) -> Array:
 
 
 def _tile_b(s_pad: int) -> int:
-    """Ray-tile size: keep ~10 live (TILE_B, S) f32 arrays within ~12 MB."""
+    """Ray-tile size for the (s_pad, TILE_B) intersection planes.
+
+    Swept on TPU v5e (jumpy_balls, s_pad=512): 256->55.1M, 512->57.0M,
+    1024->56.8M, 2048->59.6M seg/s; 4096 fails to compile (VMEM). Scale
+    the swept best inversely with plane height, clamped to tested sizes.
+    """
     env = os.environ.get("RTW_TILE_B")
     if env:
         return int(env)
-    budget = 12 * 1024 * 1024 // (10 * 4 * s_pad)
-    return int(max(128, min(512, (budget // 128) * 128)))
+    budget = 2048 * 512 // s_pad
+    return int(max(256, min(2048, (budget // 128) * 128)))
 
 
 @functools.partial(jax.jit,
