@@ -152,6 +152,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, tab_ref, rad_ref, seg_ref, *,
             width: int, height: int, spp: int, max_depth: int,
             t_min: float, tile_b: int, ablate: str = ""):
     f = jnp.float32
+    L = tile_b // 8  # per-ray state is (8, L): full VPU sublane utilization
 
     def P(i):  # camera/background scalar
         return par_ref[0, i]
@@ -159,7 +160,12 @@ def _kernel(par_ref, ipar_ref, colrow_ref, tab_ref, rad_ref, seg_ref, *,
     lane_start = ipar_ref[0, 0] + pl.program_id(0) * tile_b
     n_live = ipar_ref[0, 2]  # lanes in this chunk (tail lanes are dead)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile_b), 1) + lane_start
+    # Ray r of this tile sits at (sublane s, lane c) with r = s*L + c; the
+    # host lays colrow/outputs out to match. All per-ray vectors are (8, L):
+    # measured on v5e, (1, TB)-shaped state ran the VPU at 1/8 utilization
+    # and the S-independent portion was ~2/3 of the frame (BENCH_NOTES.md).
+    lane = (jax.lax.broadcasted_iota(jnp.int32, (8, L), 0) * L
+            + jax.lax.broadcasted_iota(jnp.int32, (8, L), 1) + lane_start)
     in_chunk = lane < (ipar_ref[0, 0] + n_live)
     rid = jax.lax.bitcast_convert_type(lane, jnp.uint32)
     # Mosaic only bitcasts vectors: broadcast the scalar seed first (via the
@@ -170,8 +176,8 @@ def _kernel(par_ref, ipar_ref, colrow_ref, tab_ref, rad_ref, seg_ref, *,
     # ---- primary rays (integrator._pixel_rays + camera.get_rays) ----------
     # col/row are precomputed host-side: Mosaic's int-div-by-constant
     # lowering needs i64 truncation it doesn't support.
-    col = colrow_ref[0:1, :]
-    row = colrow_ref[1:2, :]
+    col = colrow_ref[0:8, :]
+    row = colrow_ref[8:16, :]
 
     j0, j1, _, _ = _rand4(rid, zero_u, rt_rng.SALT_PIXEL_JITTER, seed)
     s = (col + j0) / f(width - 1)
@@ -229,59 +235,72 @@ def _kernel(par_ref, ipar_ref, colrow_ref, tab_ref, rad_ref, seg_ref, *,
         # -- intersection: quadratic coefficients on the MXU ----------------
         # half_b = o.d - d.c(time);  c_term = |o - c(time)|^2 - r^2, with
         # c(time) = alpha + time*beta affine in the per-lane shutter time.
-        # Planes are laid out (S, TB): spheres on sublanes, rays on lanes, so
-        # every per-ray scalar stays a (1, TB) lane vector (free sublane
-        # broadcast) and the winner reduction is a cheap sublane reduction —
-        # no (1,TB)<->(TB,1) cross-lane relayouts anywhere in the loop.
-        a = dx * dx + dy * dy + dz * dz          # (1, TB)
-        o_dot_d = ox * dx + oy * dy + oz * dz    # (1, TB)
-        o_sq = ox * ox + oy * oy + oz * oz       # (1, TB)
+        # One matmul + plane pipeline per sublane row s (8 total, identical
+        # summed MXU/VPU work to one (S, 8L) plane, 1/8 the live VMEM):
+        # planes are (S, L) — spheres on sublanes, rays on lanes — so per-ray
+        # scalars broadcast along sublanes and the winner reduction is a
+        # sublane max; the 8 per-row results restack into (8, L) state.
+        a = dx * dx + dy * dy + dz * dz          # (8, L)
+        o_dot_d = ox * dx + oy * dy + oz * dz    # (8, L)
+        o_sq = ox * ox + oy * oy + oz * oz       # (8, L)
         neg_tmin_a = f(-t_min) * a
+        txd, tyd, tzd = time * dx, time * dy, time * dz
+        txo, tyo, tzo = time * ox, time * oy, time * oz
 
-        f1 = jnp.concatenate([dx, dy, dz,
-                              time * dx, time * dy, time * dz,
-                              o_dot_d], axis=0)
-        f2 = jnp.concatenate([ox, oy, oz,
-                              time * ox, time * oy, time * oz,
-                              one_f, time, time2, o_sq], axis=0)
         dn = (((0,), (0,)), ((), ()))  # contract the feature axis
-        # m1 = d.c(time) - o.d = -half_b;  m2 = c_term  — straight off the
-        # MXU, no plane-sized correction ops.
-        m1 = jax.lax.dot_general(tab_ref[_R_AX:_R_ODOTD + 1, :], f1, dn,
-                                 preferred_element_type=f)   # (S, TB)
-        c_term = jax.lax.dot_general(tab_ref[_R_M2AX:_R_OSQ + 1, :], f2, dn,
-                                     preferred_element_type=f)  # (S, TB)
+        dng = (((1,), (0,)), ((), ()))  # contract the S axis
+        tn_rows, param_rows = [], []
+        for s in range(8):
+            def R(v):
+                return v[s:s + 1, :]           # sublane row s -> (1, L)
 
-        disc = m1 * m1 - a * c_term
-        # No explicit disc>0 guard: sqrt(neg) = NaN, NaN comparisons are
-        # false, so misses fall through to -BIG naturally (saves 3 plane ops;
-        # tangent disc==0 now counts as a hit — measure-zero difference).
-        sqrtd = jnp.sqrt(disc)
-        # Scaled-root domain: root_k = -p_k / a with a > 0, so comparisons
-        # and the nearest-hit reduction run on p_k directly (no divides):
-        # root >= t_min  <=>  p <= -t_min*a;  min_t  <=>  max_p.
-        p1 = sqrtd - m1              # ~ -a * root1  (near root)
-        p2 = -sqrtd - m1             # ~ -a * root2  (far root)
-        sel = jnp.where(p1 <= neg_tmin_a, p1, p2)
-        hit_bs = sel <= neg_tmin_a
-        tn_all = jnp.where(hit_bs, sel, f(-_BIG))            # (S, TB)
+            f1 = jnp.concatenate([R(dx), R(dy), R(dz),
+                                  R(txd), R(tyd), R(tzd),
+                                  R(o_dot_d)], axis=0)
+            f2 = jnp.concatenate([R(ox), R(oy), R(oz),
+                                  R(txo), R(tyo), R(tzo),
+                                  R(one_f), R(time), R(time2),
+                                  R(o_sq)], axis=0)
+            # m1 = d.c(time) - o.d = -half_b;  m2 = c_term — straight off
+            # the MXU, no plane-sized correction ops.
+            m1 = jax.lax.dot_general(tab_ref[_R_AX:_R_ODOTD + 1, :], f1, dn,
+                                     preferred_element_type=f)   # (S, L)
+            c_term = jax.lax.dot_general(tab_ref[_R_M2AX:_R_OSQ + 1, :], f2,
+                                         dn, preferred_element_type=f)
 
-        tn_best = jnp.max(tn_all, axis=0, keepdims=True)     # (1, TB)
-        hit = tn_best > f(-1.0e37)                           # (1, TB)
-        onehot = jnp.where((tn_all == tn_best) & hit,
-                           f(1.0), f(0.0))                    # (S, TB)
+            disc = m1 * m1 - R(a) * c_term
+            # No explicit disc>0 guard: sqrt(neg) = NaN, NaN comparisons are
+            # false, so misses fall through to -BIG naturally (tangent
+            # disc==0 now counts as a hit — measure-zero difference).
+            sqrtd = jnp.sqrt(disc)
+            # Scaled-root domain: root_k = -p_k / a with a > 0, so compares
+            # and the nearest-hit reduction run on p_k directly (no divides):
+            # root >= t_min  <=>  p <= -t_min*a;  min_t  <=>  max_p.
+            p1 = sqrtd - m1              # ~ -a * root1  (near root)
+            p2 = -sqrtd - m1             # ~ -a * root2  (far root)
+            nta = R(neg_tmin_a)
+            sel = jnp.where(p1 <= nta, p1, p2)
+            tn_all = jnp.where(sel <= nta, sel, f(-_BIG))     # (S, L)
 
-        # -- winner gather: one (P,S)x(S,TB) MXU matmul ----------------------
+            tn_s = jnp.max(tn_all, axis=0, keepdims=True)     # (1, L)
+            tn_rows.append(tn_s)
+            if "nogather" not in ablate:
+                onehot = jnp.where((tn_all == tn_s) & (tn_s > f(-1.0e37)),
+                                   f(1.0), f(0.0))             # (S, L)
+                param_rows.append(jax.lax.dot_general(
+                    tab_ref[:, :], onehot, dng,
+                    preferred_element_type=f))                 # (P, L)
+
+        tn_best = jnp.concatenate(tn_rows, axis=0)            # (8, L)
+        hit = tn_best > f(-1.0e37)                            # (8, L)
+
         if "nogather" in ablate:  # timing ablation: constant hit params
             def G(r):
                 return one_f * 0.5
         else:
-            dng = (((1,), (0,)), ((), ()))  # contract the S axis
-            params = jax.lax.dot_general(tab_ref[:, :], onehot, dng,
-                                         preferred_element_type=f)  # (P, TB)
-
-            def G(r):
-                return params[r:r + 1, :]      # (1, TB)
+            def G(r):  # gathered winner row r, restacked to (8, L)
+                return jnp.concatenate(
+                    [p[r:r + 1, :] for p in param_rows], axis=0)
 
         t_hit = -tn_best / a
         t_safe = jnp.where(hit, t_hit, 0.0)
@@ -422,9 +441,9 @@ def _kernel(par_ref, ipar_ref, colrow_ref, tab_ref, rad_ref, seg_ref, *,
     st = jax.lax.while_loop(cond, body, bounce_state())
     (_, _, _, _, _, _, _, _, _, _, rr_, rg_, rb_, _, seg) = st
 
-    rad_ref[0:1, :] = rr_
-    rad_ref[1:2, :] = rg_
-    rad_ref[2:3, :] = rb_
+    rad_ref[0:8, :] = rr_
+    rad_ref[8:16, :] = rg_
+    rad_ref[16:24, :] = rb_
     seg_ref[:, :] = seg  # f32 counts; cast to int32 outside the kernel
 
 
@@ -528,9 +547,11 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     """
     S = scene.spheres.radius.shape[0]
     s_pad = s_pad_override or _round_up(max(S, 128), 128)
-    tile_b = tile_override or _tile_b(s_pad)
+    # (8, L) state needs tile_b = 8*L with L a lane multiple: tile % 1024.
+    tile_b = _round_up(tile_override or _tile_b(s_pad), 1024)
     b_pad = _round_up(max(n_chunk, tile_b), tile_b)
     grid = (b_pad // tile_b,)
+    n_tiles, lanes_l = grid[0], tile_b // 8
 
     tab = _build_table(scene, s_pad)
     par = _pack_par(scene, cam)
@@ -548,16 +569,22 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     pix = lane // cfg.samples_per_pixel
     col_f = (pix % cfg.width).astype(jnp.float32)
     row_f = (cfg.height - 1 - pix // cfg.width).astype(jnp.float32)
-    colrow = jnp.stack([col_f, row_f], axis=0)  # (2, b_pad)
+
+    def _wide(x):  # (b_pad,) -> (8, n_tiles*L): ray s*L+c of tile i at
+        # (s, i*L+c), matching the kernel's (8, L) lane iota.
+        return x.reshape(n_tiles, 8, lanes_l).transpose(1, 0, 2).reshape(
+            8, n_tiles * lanes_l)
+
+    colrow = jnp.concatenate([_wide(col_f), _wide(row_f)], axis=0)  # (16, .)
 
     kernel = functools.partial(
         _kernel, width=cfg.width, height=cfg.height,
         spp=cfg.samples_per_pixel, max_depth=cfg.max_depth,
         t_min=cfg.t_min, tile_b=tile_b, ablate=ablate)
 
-    out_rad = pl.BlockSpec((3, tile_b), lambda i: (0, i),
+    out_rad = pl.BlockSpec((24, lanes_l), lambda i: (0, i),
                            memory_space=pltpu.VMEM)
-    out_seg = pl.BlockSpec((1, tile_b), lambda i: (0, i),
+    out_seg = pl.BlockSpec((8, lanes_l), lambda i: (0, i),
                            memory_space=pltpu.VMEM)
 
     rad, seg = pl.pallas_call(
@@ -566,15 +593,15 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((2, tile_b), lambda i: (0, i),
+            pl.BlockSpec((16, lanes_l), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((P_ROWS, s_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_rad, out_seg],
         out_shape=[
-            jax.ShapeDtypeStruct((3, b_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((24, n_tiles * lanes_l), jnp.float32),
+            jax.ShapeDtypeStruct((8, n_tiles * lanes_l), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=cfg.max_depth * b_pad * s_pad * 40,
@@ -584,7 +611,11 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         interpret=interpret,
     )(par, ipar, colrow, tab)
 
-    return rad[:, :n_chunk].T, seg[0, :n_chunk].astype(jnp.int32)
+    # Undo the (8, L) tile layout: (24, G*L) -> (b_pad, 3), (8, G*L) -> (b_pad,)
+    rad = rad.reshape(3, 8, n_tiles, lanes_l).transpose(2, 1, 3, 0).reshape(
+        b_pad, 3)
+    seg = seg.reshape(8, n_tiles, lanes_l).transpose(1, 0, 2).reshape(b_pad)
+    return rad[:n_chunk], seg[:n_chunk].astype(jnp.int32)
 
 
 def fused_supported(static: SceneStatic, cfg: RenderConfig) -> bool:

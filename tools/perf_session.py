@@ -56,8 +56,8 @@ def main() -> int:
           f"init+build {time.time() - t0:.0f}s", flush=True)
 
     # -- tile sweep (full kernel) -------------------------------------------
-    best, best_dt = 512, None
-    for tb in (512, 1024, 2048, 4096):
+    best, best_dt = 2048, None
+    for tb in (1024, 2048, 4096, 8192):
         dt = run(scene, cfg, cam, n, seed, f"tile={tb}", tile_override=tb)
         if dt is not None and (best_dt is None or dt < best_dt):
             best, best_dt = tb, dt
