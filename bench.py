@@ -108,7 +108,8 @@ def main() -> int:
 
     def fused_with_stats(scene, cam, start, size, seed):
         from raytracer_weekend_tpu.ops.pallas import render_fused
-        colors, seg = render_fused(scene, cfg, cam, start, size, seed)
+        colors, seg = render_fused(scene, cfg, cam, start, size, seed,
+                                   static=static)
         return colors.sum(), seg.sum()
 
     seed = jnp.uint32(cfg.seed)

@@ -364,7 +364,7 @@ def render_image(scene: SceneData, static: SceneStatic, cfg: RenderConfig,
         if use_fused:
             from raytracer_weekend_tpu.ops.pallas.megakernel import render_fused
             colors, _ = render_fused(scene, cfg, cam, start, size, seed,
-                                     interpret=interp)
+                                     interpret=interp, static=static)
         else:
             ids = start + jnp.arange(size, dtype=jnp.int32)
             colors = render_chunk(scene, static, cfg, cam, ids, seed)

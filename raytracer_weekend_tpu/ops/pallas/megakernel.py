@@ -87,6 +87,26 @@ _R_C2R, _R_C2G, _R_C2B = 25, 26, 27
 _R_TSCALE = 28
 P_ROWS = 32  # padded to a sublane multiple
 
+# Rect tables (rectangular.rs:16-167). Intersection is fully folded into two
+# matmuls per sublane row: with fixed-axis one-hot e_f and varying-axis
+# one-hots e_a, e_b, plane offset k, bounds (a0,a1,b0,b1):
+#   t = (k - o.e_f) / (d.e_f);  u = (p.e_a - a0)/(a1-a0);  v likewise
+# d-features [dx dy dz] against tab_rd -> stacked (3*R, L) planes
+#   [DF; U1; V1] = [e_f; e_a/da; e_b/db] . d
+# o-features [ox oy oz 1] against tab_ro -> stacked (3*R, L) planes
+#   [NUM; U0; V0] = [k - o.e_f; (o.e_a - a0)/da; (o.e_b - b0)/db]
+# so t = NUM/DF, u = U0 + t*U1, v = V0 + t*V1, hit iff t>=t_min & u,v in
+# [0,1] (rectangular.rs:30-44). Padded slots have all-zero coefficients:
+# t = 0/0 = NaN and NaN comparisons kill them.
+# Winner gather rows (tab_rg):
+_RR_NX, _RR_NY, _RR_NZ = 0, 1, 2     # outward normal = e_f
+_RR_MTYPE, _RR_FUZZ, _RR_IOR = 3, 4, 5
+_RR_TTYPE = 6
+_RR_C1R, _RR_C1G, _RR_C1B = 7, 8, 9
+_RR_C2R, _RR_C2G, _RR_C2B = 10, 11, 12
+_RR_TSCALE = 13
+PR_ROWS = 16
+
 _TWO_PI = 6.283185307179586
 
 
@@ -148,11 +168,22 @@ def _unit_vec(u1, u2):
 # Kernel
 # --------------------------------------------------------------------------
 
-def _kernel(par_ref, ipar_ref, colrow_ref, tab_ref, rad_ref, seg_ref, *,
+def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
             width: int, height: int, spp: int, max_depth: int,
-            t_min: float, tile_b: int, ablate: str = ""):
+            t_min: float, tile_b: int, r_pad: int = 0,
+            has_sph: bool = True, has_rect: bool = False,
+            ablate: str = ""):
     f = jnp.float32
     L = tile_b // 8  # per-ray state is (8, L): full VPU sublane utilization
+
+    i_ref = 0
+    if has_sph:
+        tab_ref = refs[i_ref]
+        i_ref += 1
+    if has_rect:
+        tab_rd_ref, tab_ro_ref, tab_rg_ref = refs[i_ref:i_ref + 3]
+        i_ref += 3
+    rad_ref, seg_ref = refs[i_ref], refs[i_ref + 1]
 
     def P(i):  # camera/background scalar
         return par_ref[0, i]
@@ -250,60 +281,121 @@ def _kernel(par_ref, ipar_ref, colrow_ref, tab_ref, rad_ref, seg_ref, *,
         dn = (((0,), (0,)), ((), ()))  # contract the feature axis
         dng = (((1,), (0,)), ((), ()))  # contract the S axis
         tn_rows, param_rows = [], []
+        tr_rows, paramr_rows, dfw_rows = [], [], []
         for s in range(8):
             def R(v):
                 return v[s:s + 1, :]           # sublane row s -> (1, L)
 
-            f1 = jnp.concatenate([R(dx), R(dy), R(dz),
-                                  R(txd), R(tyd), R(tzd),
-                                  R(o_dot_d)], axis=0)
-            f2 = jnp.concatenate([R(ox), R(oy), R(oz),
-                                  R(txo), R(tyo), R(tzo),
-                                  R(one_f), R(time), R(time2),
-                                  R(o_sq)], axis=0)
-            # m1 = d.c(time) - o.d = -half_b;  m2 = c_term — straight off
-            # the MXU, no plane-sized correction ops.
-            m1 = jax.lax.dot_general(tab_ref[_R_AX:_R_ODOTD + 1, :], f1, dn,
-                                     preferred_element_type=f)   # (S, L)
-            c_term = jax.lax.dot_general(tab_ref[_R_M2AX:_R_OSQ + 1, :], f2,
+            if has_sph:
+                f1 = jnp.concatenate([R(dx), R(dy), R(dz),
+                                      R(txd), R(tyd), R(tzd),
+                                      R(o_dot_d)], axis=0)
+                f2 = jnp.concatenate([R(ox), R(oy), R(oz),
+                                      R(txo), R(tyo), R(tzo),
+                                      R(one_f), R(time), R(time2),
+                                      R(o_sq)], axis=0)
+                # m1 = d.c(time) - o.d = -half_b;  m2 = c_term — straight
+                # off the MXU, no plane-sized correction ops.
+                m1 = jax.lax.dot_general(tab_ref[_R_AX:_R_ODOTD + 1, :], f1,
                                          dn, preferred_element_type=f)
+                c_term = jax.lax.dot_general(tab_ref[_R_M2AX:_R_OSQ + 1, :],
+                                             f2, dn, preferred_element_type=f)
 
-            disc = m1 * m1 - R(a) * c_term
-            # No explicit disc>0 guard: sqrt(neg) = NaN, NaN comparisons are
-            # false, so misses fall through to -BIG naturally (tangent
-            # disc==0 now counts as a hit — measure-zero difference).
-            sqrtd = jnp.sqrt(disc)
-            # Scaled-root domain: root_k = -p_k / a with a > 0, so compares
-            # and the nearest-hit reduction run on p_k directly (no divides):
-            # root >= t_min  <=>  p <= -t_min*a;  min_t  <=>  max_p.
-            p1 = sqrtd - m1              # ~ -a * root1  (near root)
-            p2 = -sqrtd - m1             # ~ -a * root2  (far root)
-            nta = R(neg_tmin_a)
-            sel = jnp.where(p1 <= nta, p1, p2)
-            tn_all = jnp.where(sel <= nta, sel, f(-_BIG))     # (S, L)
+                disc = m1 * m1 - R(a) * c_term                  # (S, L)
+                # No explicit disc>0 guard: sqrt(neg) = NaN, NaN comparisons
+                # are false, so misses fall through to -BIG naturally
+                # (tangent disc==0 now counts as a hit — measure zero).
+                sqrtd = jnp.sqrt(disc)
+                # Scaled-root domain: root_k = -p_k / a with a > 0, so
+                # compares and the nearest-hit reduction run on p_k directly
+                # (no divides): root >= t_min <=> p <= -t_min*a; min_t <=>
+                # max_p.
+                p1 = sqrtd - m1              # ~ -a * root1  (near root)
+                p2 = -sqrtd - m1             # ~ -a * root2  (far root)
+                nta = R(neg_tmin_a)
+                sel = jnp.where(p1 <= nta, p1, p2)
+                tn_all = jnp.where(sel <= nta, sel, f(-_BIG))     # (S, L)
 
-            tn_s = jnp.max(tn_all, axis=0, keepdims=True)     # (1, L)
-            tn_rows.append(tn_s)
-            if "nogather" not in ablate:
-                onehot = jnp.where((tn_all == tn_s) & (tn_s > f(-1.0e37)),
-                                   f(1.0), f(0.0))             # (S, L)
-                param_rows.append(jax.lax.dot_general(
-                    tab_ref[:, :], onehot, dng,
-                    preferred_element_type=f))                 # (P, L)
+                tn_s = jnp.max(tn_all, axis=0, keepdims=True)     # (1, L)
+                tn_rows.append(tn_s)
+                if "nogather" not in ablate:
+                    onehot = jnp.where(
+                        (tn_all == tn_s) & (tn_s > f(-1.0e37)),
+                        f(1.0), f(0.0))                            # (S, L)
+                    param_rows.append(jax.lax.dot_general(
+                        tab_ref[:, :], onehot, dng,
+                        preferred_element_type=f))                 # (P, L)
 
-        tn_best = jnp.concatenate(tn_rows, axis=0)            # (8, L)
-        hit = tn_best > f(-1.0e37)                            # (8, L)
+            if has_rect:
+                # Rect planes: t = NUM/DF, u = U0 + t*U1, v = V0 + t*V1
+                # (rectangular.rs:30-64 semantics; see table layout above).
+                fd = jnp.concatenate([R(dx), R(dy), R(dz)], axis=0)
+                fo = jnp.concatenate([R(ox), R(oy), R(oz), R(one_f)], axis=0)
+                md = jax.lax.dot_general(tab_rd_ref[:, :], fd, dn,
+                                         preferred_element_type=f)
+                mo = jax.lax.dot_general(tab_ro_ref[:, :], fo, dn,
+                                         preferred_element_type=f)
+                df = md[0:r_pad]
+                t_rp = mo[0:r_pad] / df                           # (R, L)
+                u = mo[r_pad:2 * r_pad] + t_rp * md[r_pad:2 * r_pad]
+                v = mo[2 * r_pad:] + t_rp * md[2 * r_pad:]
+                # Padded slots give t = 0/0 = NaN; NaN comparisons are false.
+                ok = ((t_rp >= f(t_min)) & (u >= 0.0) & (u <= 1.0)
+                      & (v >= 0.0) & (v <= 1.0))
+                tneg = jnp.where(ok, -t_rp, f(-_BIG))
+                trn = jnp.max(tneg, axis=0, keepdims=True)        # (1, L)
+                hit_row = trn > f(-1.0e37)
+                tr_rows.append(jnp.where(hit_row, -trn, f(_BIG)))
+                ohr = jnp.where((tneg == trn) & hit_row, f(1.0), f(0.0))
+                if "nogather" not in ablate:
+                    paramr_rows.append(jax.lax.dot_general(
+                        tab_rg_ref[:, :], ohr, dng,
+                        preferred_element_type=f))                # (PR, L)
+                # d.e_f at the winner: sign gives the front face.
+                dfw_rows.append(jnp.sum(ohr * df, axis=0, keepdims=True))
+
+        def _stack(rows):
+            return jnp.concatenate(rows, axis=0)                  # (8, L)
+
+        if has_sph:
+            tn_best = _stack(tn_rows)
+            hit_s = tn_best > f(-1.0e37)
+            t_s = jnp.where(hit_s, -tn_best / a, f(_BIG))
+        else:
+            t_s = one_f * f(_BIG)
+        if has_rect:
+            t_r = _stack(tr_rows)
+            dfw = _stack(dfw_rows)
+            rect_w = t_r < t_s                                    # (8, L)
+        else:
+            rect_w = None
+
+        t_hit = jnp.minimum(t_s, t_r) if has_rect else t_s
+        hit = t_hit < f(1.0e37)
+        t_safe = jnp.where(hit, t_hit, 0.0)
 
         if "nogather" in ablate:  # timing ablation: constant hit params
             def G(r):
                 return one_f * 0.5
-        else:
-            def G(r):  # gathered winner row r, restacked to (8, L)
-                return jnp.concatenate(
-                    [p[r:r + 1, :] for p in param_rows], axis=0)
 
-        t_hit = -tn_best / a
-        t_safe = jnp.where(hit, t_hit, 0.0)
+            def Gr(r):
+                return one_f * 0.5
+        else:
+            def G(r):  # gathered sphere-winner row r, restacked to (8, L)
+                return _stack([p[r:r + 1, :] for p in param_rows])
+
+            def Gr(r):  # gathered rect-winner row r, restacked to (8, L)
+                return _stack([p[r:r + 1, :] for p in paramr_rows])
+
+        if has_sph and has_rect:
+            def G2(rs, rr):  # family-merged hit param
+                return jnp.where(rect_w, Gr(rr), G(rs))
+        elif has_rect:
+            def G2(rs, rr):
+                return Gr(rr)
+        else:
+            def G2(rs, rr):
+                return G(rs)
 
         # miss -> background, terminate (lib.rs:102-105)
         missf = jnp.where(alive & ~hit, f(1.0), f(0.0))
@@ -312,35 +404,49 @@ def _kernel(par_ref, ipar_ref, colrow_ref, tab_ref, rad_ref, seg_ref, *,
         rb_ = rb_ + missf * tpb * bg_b
         alive = alive & hit
 
-        # -- hit record (ops.sphere.sphere_record) --------------------------
+        # -- hit record (ops.sphere.sphere_record / ops.rect.rect_record) ----
         px = ox + t_safe * dx
         py = oy + t_safe * dy
         pz = oz + t_safe * dz
-        cx = G(_R_AX) + time * G(_R_BX)    # center at this lane's time
-        cy = G(_R_AY) + time * G(_R_BY)
-        cz = G(_R_AZ) + time * G(_R_BZ)
-        inv_r = G(_R_INVR)
-        nx = (px - cx) * inv_r             # outward normal (signed radius)
-        ny = (py - cy) * inv_r
-        nz = (pz - cz) * inv_r
-        d_dot_n = dx * nx + dy * ny + dz * nz
-        front = d_dot_n < 0.0
-        sgn = jnp.where(front, f(1.0), f(-1.0))
-        nx, ny, nz = nx * sgn, ny * sgn, nz * sgn  # front-face flip
+        if has_sph:
+            cx = G(_R_AX) + time * G(_R_BX)    # center at this lane's time
+            cy = G(_R_AY) + time * G(_R_BY)
+            cz = G(_R_AZ) + time * G(_R_BZ)
+            inv_r = G(_R_INVR)
+            nx = (px - cx) * inv_r             # outward normal (signed rad.)
+            ny = (py - cy) * inv_r
+            nz = (pz - cz) * inv_r
+            d_dot_n = dx * nx + dy * ny + dz * nz
+            front = d_dot_n < 0.0
+            sgn = jnp.where(front, f(1.0), f(-1.0))
+            nx, ny, nz = nx * sgn, ny * sgn, nz * sgn  # front-face flip
+        if has_rect:
+            front_r = dfw < 0.0                # outward normal = e_f
+            rsgn = jnp.where(front_r, f(1.0), f(-1.0))
+            nrx = Gr(_RR_NX) * rsgn
+            nry = Gr(_RR_NY) * rsgn
+            nrz = Gr(_RR_NZ) * rsgn
+            if has_sph:
+                nx = jnp.where(rect_w, nrx, nx)
+                ny = jnp.where(rect_w, nry, ny)
+                nz = jnp.where(rect_w, nrz, nz)
+                front = (rect_w & front_r) | (~rect_w & front)
+            else:
+                nx, ny, nz, front = nrx, nry, nrz, front_r
 
         # -- texture (solid / checker; texture.rs:71-80) ---------------------
-        scale = G(_R_TSCALE)
+        scale = G2(_R_TSCALE, _RR_TSCALE)
         sines = (jnp.sin(scale * px) * jnp.sin(scale * py)
                  * jnp.sin(scale * pz))
         odd = sines < 0.0
-        is_checker = G(_R_TTYPE) == 1.0
+        is_checker = G2(_R_TTYPE, _RR_TTYPE) == 1.0
         use2 = is_checker & odd
-        tex_r = jnp.where(use2, G(_R_C2R), G(_R_C1R))
-        tex_g = jnp.where(use2, G(_R_C2G), G(_R_C1G))
-        tex_b = jnp.where(use2, G(_R_C2B), G(_R_C1B))
+        tex_r = jnp.where(use2, G2(_R_C2R, _RR_C2R), G2(_R_C1R, _RR_C1R))
+        tex_g = jnp.where(use2, G2(_R_C2G, _RR_C2G), G2(_R_C1G, _RR_C1G))
+        tex_b = jnp.where(use2, G2(_R_C2B, _RR_C2B), G2(_R_C1B, _RR_C1B))
 
         # -- scatter union (materials.scatter) ------------------------------
-        mtype = G(_R_MTYPE)
+        mtype = G2(_R_MTYPE, _RR_MTYPE)
         inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + f(1e-20))
         ux, uy, uz = dx * inv_len, dy * inv_len, dz * inv_len
 
@@ -373,7 +479,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, tab_ref, rad_ref, seg_ref, *,
         m1_, m2_, m3_, _ = _rand4(rid, depth_u, rt_rng.SALT_METAL, seed)
         bx, by, bz = _unit_vec(m1_, m2_)
         brad = jnp.exp(jnp.log(jnp.maximum(m3_, f(1e-30))) * f(1.0 / 3.0))
-        fuzz = G(_R_FUZZ)
+        fuzz = G2(_R_FUZZ, _RR_FUZZ)
         u_dot_n = ux * nx + uy * ny + uz * nz
         metx = ux - 2.0 * u_dot_n * nx + fuzz * bx * brad
         mety = uy - 2.0 * u_dot_n * ny + fuzz * by * brad
@@ -382,7 +488,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, tab_ref, rad_ref, seg_ref, *,
 
         # Dielectric (material.rs:115-142)
         e1, _, _, _ = _rand4(rid, depth_u, rt_rng.SALT_DIELECTRIC, seed)
-        ior = G(_R_IOR)
+        ior = G2(_R_IOR, _RR_IOR)
         ratio = jnp.where(front, 1.0 / jnp.maximum(ior, f(1e-6)), ior)
         cos_t = jnp.minimum(-u_dot_n, 1.0)
         sin_t = jnp.sqrt(jnp.maximum(f(1e-12), 1.0 - cos_t * cos_t))
@@ -505,6 +611,62 @@ def _build_table(scene: SceneData, s_pad: int) -> Array:
     return tab
 
 
+def _build_rect_tables(scene: SceneData, r_pad: int):
+    """(tab_rd (3, 3*r_pad), tab_ro (4, 3*r_pad), tab_rg (PR_ROWS, r_pad)).
+
+    Column blocks of tab_rd/tab_ro: [DF | U1 | V1] and [NUM | U0 | V0]
+    coefficient sets (see the row-layout comment at the top). Bounds are
+    pre-divided by the extent so u/v come out normalized to [0, 1]
+    (rectangular.rs:37-44 semantics).
+    """
+    rc = scene.rects
+    mt = scene.materials
+    tx = scene.textures
+    R = rc.axis.shape[0]
+    f_ax = jnp.asarray(rc.axis)                  # fixed axis (0/1/2)
+    # varying axes in the reference UV order (scene.data.Rects docstring)
+    a_ax = jnp.where(f_ax == 0, 1, 0)
+    b_ax = jnp.where(f_ax == 2, 1, 2)
+    valid = rc.valid
+    eye = jnp.eye(3, dtype=jnp.float32)
+    vf = jnp.where(valid[:, None], eye[f_ax], 0.0)      # (R, 3)
+    inv_da = jnp.where(valid, 1.0 / jnp.where(rc.a1 == rc.a0, 1.0,
+                                              rc.a1 - rc.a0), 0.0)
+    inv_db = jnp.where(valid, 1.0 / jnp.where(rc.b1 == rc.b0, 1.0,
+                                              rc.b1 - rc.b0), 0.0)
+    va = eye[a_ax] * inv_da[:, None]                    # (R, 3)
+    vb = eye[b_ax] * inv_db[:, None]
+
+    def padc(m, rows):  # (R, rows) -> (r_pad, rows), transposed to (rows, .)
+        m = jnp.pad(m.astype(jnp.float32), ((0, r_pad - R), (0, 0)))
+        return m.T
+
+    tab_rd = jnp.concatenate(
+        [padc(vf, 3), padc(va, 3), padc(vb, 3)], axis=1)    # (3, 3*r_pad)
+    num_c = jnp.concatenate([-vf, jnp.where(valid, rc.k, 0.0)[:, None]], 1)
+    u0_c = jnp.concatenate([va, (-rc.a0 * inv_da)[:, None]], 1)
+    v0_c = jnp.concatenate([vb, (-rc.b0 * inv_db)[:, None]], 1)
+    tab_ro = jnp.concatenate(
+        [padc(num_c, 4), padc(u0_c, 4), padc(v0_c, 4)], axis=1)  # (4, 3r_pad)
+
+    mat = rc.mat
+    tid = mt.tex[mat]
+    c1c = tx.color1[tid]
+    c2c = tx.color2[tid]
+    rows = [
+        vf[:, 0], vf[:, 1], vf[:, 2],
+        mt.mtype[mat].astype(jnp.float32), mt.fuzz[mat], mt.ior[mat],
+        tx.ttype[tid].astype(jnp.float32),
+        c1c[:, 0], c1c[:, 1], c1c[:, 2],
+        c2c[:, 0], c2c[:, 1], c2c[:, 2],
+        tx.scale[tid],
+    ]
+    tab_rg = jnp.stack(rows, axis=0).astype(jnp.float32)
+    tab_rg = jnp.pad(tab_rg, ((0, PR_ROWS - tab_rg.shape[0]),
+                              (0, r_pad - R)))
+    return tab_rd, tab_ro, tab_rg
+
+
 def _pack_par(scene: SceneData, cam: Camera) -> Array:
     parts = [
         cam.origin, cam.lower_left, cam.horizontal, cam.vertical,
@@ -532,28 +694,52 @@ def _tile_b(s_pad: int) -> int:
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_chunk", "interpret",
                                     "tile_override", "s_pad_override",
-                                    "ablate"))
+                                    "ablate", "static"))
 def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  lane_start, n_chunk: int, seed,
                  interpret: bool = False,
                  tile_override: int | None = None,
                  s_pad_override: int | None = None,
-                 ablate: str = "") -> tuple[Array, Array]:
+                 ablate: str = "",
+                 static: SceneStatic | None = None) -> tuple[Array, Array]:
     """Render lanes [lane_start, lane_start + n_chunk) fully fused.
 
     Returns (radiance (n_chunk, 3) f32, segments (n_chunk,) int32) — per-lane
     radiance estimates (lane = pixel * spp + sample) and traced-segment
     counts. Caller accumulates lanes into the film.
     """
+    # Family presence: SceneStatic when given (builder pads empty families
+    # with one invalid dummy row, so shapes alone can't prove absence).
     S = scene.spheres.radius.shape[0]
+    Rn = scene.rects.axis.shape[0]
+    if static is not None:
+        has_sph, has_rect = static.n_spheres > 0, static.n_rects > 0
+    else:
+        has_sph, has_rect = S > 0, Rn > 0
     s_pad = s_pad_override or _round_up(max(S, 128), 128)
+    r_pad = _round_up(max(Rn, 128), 128) if has_rect else 0
     # (8, L) state needs tile_b = 8*L with L a lane multiple: tile % 1024.
-    tile_b = _round_up(tile_override or _tile_b(s_pad), 1024)
+    tile_b = _round_up(tile_override or _tile_b(max(s_pad, r_pad)), 1024)
     b_pad = _round_up(max(n_chunk, tile_b), tile_b)
     grid = (b_pad // tile_b,)
     n_tiles, lanes_l = grid[0], tile_b // 8
 
-    tab = _build_table(scene, s_pad)
+    tabs, tab_specs = [], []
+    if has_sph:
+        tabs.append(_build_table(scene, s_pad))
+        tab_specs.append(pl.BlockSpec((P_ROWS, s_pad), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    if has_rect:
+        tab_rd, tab_ro, tab_rg = _build_rect_tables(scene, r_pad)
+        tabs += [tab_rd, tab_ro, tab_rg]
+        tab_specs += [
+            pl.BlockSpec((3, 3 * r_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 3 * r_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PR_ROWS, r_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     par = _pack_par(scene, cam)
     ipar = jnp.stack([
         jnp.asarray(lane_start, jnp.int32),
@@ -580,7 +766,8 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     kernel = functools.partial(
         _kernel, width=cfg.width, height=cfg.height,
         spp=cfg.samples_per_pixel, max_depth=cfg.max_depth,
-        t_min=cfg.t_min, tile_b=tile_b, ablate=ablate)
+        t_min=cfg.t_min, tile_b=tile_b, r_pad=r_pad,
+        has_sph=has_sph, has_rect=has_rect, ablate=ablate)
 
     out_rad = pl.BlockSpec((24, lanes_l), lambda i: (0, i),
                            memory_space=pltpu.VMEM)
@@ -595,8 +782,7 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((16, lanes_l), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P_ROWS, s_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            *tab_specs,
         ],
         out_specs=[out_rad, out_seg],
         out_shape=[
@@ -604,12 +790,12 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
             jax.ShapeDtypeStruct((8, n_tiles * lanes_l), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=cfg.max_depth * b_pad * s_pad * 40,
+            flops=cfg.max_depth * b_pad * (s_pad + r_pad) * 40,
             bytes_accessed=(4 * b_pad * 4) + P_ROWS * s_pad * 4,
             transcendentals=cfg.max_depth * b_pad * 24,
         ),
         interpret=interpret,
-    )(par, ipar, colrow, tab)
+    )(par, ipar, colrow, *tabs)
 
     # Undo the (8, L) tile layout: (24, G*L) -> (b_pad, 3), (8, G*L) -> (b_pad,)
     rad = rad.reshape(3, 8, n_tiles, lanes_l).transpose(2, 1, 3, 0).reshape(
@@ -622,4 +808,5 @@ def fused_supported(static: SceneStatic, cfg: RenderConfig) -> bool:
     """The fused megakernel handles this (scene, config)."""
     return (static.fused_simple
             and static.n_spheres <= 8192
+            and static.n_rects <= 8192
             and cfg.width > 1 and cfg.height > 1)

@@ -493,14 +493,20 @@ class _Compiler:
             background=jnp.asarray(background, jnp.float32),
             sphere_bvh=sphere_bvh, triangle_bvh=triangle_bvh,
         )
-        # Fused-megakernel eligibility: sphere-only scene whose sphere
+        # Fused-megakernel eligibility: sphere/rect-only scene whose
         # materials are Lambertian/Metal/Dielectric/DiffuseLight over
         # solid/checker textures (ops.pallas.megakernel scope).
         fused_simple = False
-        if n_spheres and not (n_rects or n_tris or n_vols):
-            sph_mats = np.asarray(spheres.mat)[np.asarray(spheres.valid)]
-            mtypes = np.asarray(materials.mtype)[sph_mats]
-            ttypes = np.asarray(textures.ttype)[np.asarray(materials.tex)[sph_mats]]
+        if (n_spheres or n_rects) and not (n_tris or n_vols):
+            used = []
+            if n_spheres:
+                used.append(np.asarray(spheres.mat)[np.asarray(spheres.valid)])
+            if n_rects:
+                used.append(np.asarray(rects.mat)[np.asarray(rects.valid)])
+            used_mats = np.concatenate(used)
+            mtypes = np.asarray(materials.mtype)[used_mats]
+            ttypes = np.asarray(textures.ttype)[
+                np.asarray(materials.tex)[used_mats]]
             fused_simple = bool(
                 np.all(np.isin(mtypes, (0, 1, 2, 3)))
                 and np.all(np.isin(ttypes, (0, 1)))

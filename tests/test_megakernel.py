@@ -81,12 +81,74 @@ def test_chunked_equals_whole():
 
 
 def test_cornell_not_eligible():
-    """Rect/light scenes fall back to the staged wavefront path."""
+    """Full cornell (rotated cuboids -> triangles) stays on the staged
+    wavefront path; plain rects alone are fused-eligible now."""
     cfg = RenderConfig(width=16, height=16, samples_per_pixel=1, max_depth=2)
     objs, cams, bg = cornell_box(1.0)
     _, static = B.build_scene(objs, background=bg)
+    assert static.n_triangles > 0        # the rotated boxes
     assert not static.fused_simple
     assert not fused_supported(static, cfg)
+
+
+def _rect_room(aspect):
+    """Cornell-style walls + light + two spheres: the fused rect workload."""
+    from raytracer_weekend_tpu.camera import make_camera
+    from raytracer_weekend_tpu.scene.builder import (
+        Dielectric, DiffuseLight, Lambertian, Metal, Sphere, XYRectangle,
+        XZRectangle, YZRectangle)
+
+    red = Lambertian((0.65, 0.05, 0.05))
+    white = Lambertian((0.73, 0.73, 0.73))
+    green = Lambertian((0.12, 0.45, 0.15))
+    light = DiffuseLight((15.0, 15.0, 15.0))
+    objs = [
+        YZRectangle(0, 555, 0, 555, 555, green),
+        YZRectangle(0, 555, 0, 555, 0, red),
+        XZRectangle(213, 343, 227, 332, 554, light),
+        XZRectangle(0, 555, 0, 555, 0, white),
+        XZRectangle(0, 555, 0, 555, 555, white),
+        XYRectangle(0, 555, 0, 555, 555, white),
+        Sphere((190, 90, 190), 90, Dielectric(1.5)),
+        Sphere((370, 120, 350), 120, Metal((0.8, 0.85, 0.88), fuzz=0.1)),
+    ]
+    cam = make_camera(look_from=(278, 278, -800), look_at=(278, 278, 0),
+                      up_vector=(0, 1, 0), vertical_field_of_view=40.0,
+                      aspect_ratio=aspect, aperture=0.0, focus_distance=10.0,
+                      time0=0.0, time1=1.0)
+    return objs, [cam], (0.0, 0.0, 0.0)
+
+
+def test_rect_room_matches_staged_path():
+    """Sphere+rect fused path vs the staged wavefront (emissive rect room)."""
+    ref, ref_seg, got, seg, n = _compare(_rect_room, {}, width=24, height=24,
+                                         spp=4, depth=6, seed=5)
+    assert abs(int(seg.sum()) - ref_seg) <= max(4, n // 200)
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-3)
+    bad_lanes = np.unique(np.argwhere(rel > 0.05)[:, 0])
+    assert len(bad_lanes) <= max(4, n // 100)
+    assert np.abs(got - ref).mean() < 1e-3
+
+
+def test_rect_only_scene_fused():
+    """A scene with no spheres at all compiles the rect-only kernel."""
+    from raytracer_weekend_tpu.camera import make_camera
+    from raytracer_weekend_tpu.scene.builder import DiffuseLight, Lambertian, \
+        XYRectangle, XZRectangle
+
+    objs = [
+        XZRectangle(-2, 2, -2, 2, 0, Lambertian((0.5, 0.5, 0.5))),
+        XYRectangle(-1, 1, 0, 2, -2, DiffuseLight((4.0, 4.0, 4.0))),
+    ]
+    cam = make_camera(look_from=(0, 2, 6), look_at=(0, 1, 0),
+                      up_vector=(0, 1, 0), vertical_field_of_view=40.0,
+                      aspect_ratio=1.0, aperture=0.0, focus_distance=10.0,
+                      time0=0.0, time1=1.0)
+    scenef = lambda aspect: (objs, [cam], (0.05, 0.05, 0.08))  # noqa: E731
+    ref, ref_seg, got, seg, n = _compare(scenef, {}, width=16, height=16,
+                                         spp=4, depth=4, seed=2)
+    assert abs(int(seg.sum()) - ref_seg) <= max(2, n // 500)
+    assert np.abs(got - ref).mean() < 1e-3
 
 
 def test_render_image_fused_dispatch(monkeypatch):
