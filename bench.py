@@ -47,8 +47,10 @@ def main() -> int:
     # Probe the backend with a trivial round-trip; the TPU tunnel in this
     # image is single-client and can wedge — fall back to CPU (honestly
     # labeled) rather than hanging the whole bench run.
-    def _backend_alive(timeout_s: float = 420.0) -> bool:
-        # Cold tunnel bring-up has been measured at >186s; probe generously.
+    def _backend_alive(timeout_s: float = 900.0) -> bool:
+        # Cold tunnel bring-up has been measured at 10-12 MINUTES of axon
+        # client init before the first dispatch (BENCH_NOTES.md); probe
+        # generously or a healthy backend gets misclassified as wedged.
         # Probe in a subprocess so this process never initializes a wedged
         # backend (jax_platforms can't be re-selected after init).
         import subprocess

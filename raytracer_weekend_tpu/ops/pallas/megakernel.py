@@ -87,25 +87,43 @@ _R_C2R, _R_C2G, _R_C2B = 25, 26, 27
 _R_TSCALE = 28
 P_ROWS = 32  # padded to a sublane multiple
 
-# Rect tables (rectangular.rs:16-167). Intersection is fully folded into two
-# matmuls per sublane row: with fixed-axis one-hot e_f and varying-axis
-# one-hots e_a, e_b, plane offset k, bounds (a0,a1,b0,b1):
-#   t = (k - o.e_f) / (d.e_f);  u = (p.e_a - a0)/(a1-a0);  v likewise
-# d-features [dx dy dz] against tab_rd -> stacked (3*R, L) planes
-#   [DF; U1; V1] = [e_f; e_a/da; e_b/db] . d
-# o-features [ox oy oz 1] against tab_ro -> stacked (3*R, L) planes
-#   [NUM; U0; V0] = [k - o.e_f; (o.e_a - a0)/da; (o.e_b - b0)/db]
-# so t = NUM/DF, u = U0 + t*U1, v = V0 + t*V1, hit iff t>=t_min & u,v in
-# [0,1] (rectangular.rs:30-44). Padded slots have all-zero coefficients:
-# t = 0/0 = NaN and NaN comparisons kill them.
-# Winner gather rows (tab_rg):
-_RR_NX, _RR_NY, _RR_NZ = 0, 1, 2     # outward normal = e_f
-_RR_MTYPE, _RR_FUZZ, _RR_IOR = 3, 4, 5
-_RR_TTYPE = 6
-_RR_C1R, _RR_C1G, _RR_C1B = 7, 8, 9
-_RR_C2R, _RR_C2G, _RR_C2B = 10, 11, 12
-_RR_TSCALE = 13
-PR_ROWS = 16
+# Planar-primitive tables: ONE family for axis-aligned rects
+# (rectangular.rs:16-167) AND triangles (triangular.rs:97-138). Both are a
+# plane hit + two affine in-plane coordinates, fully folded into two matmuls
+# per sublane row. Per primitive we precompute (host-side)
+#   n  — plane normal: e_f for rects, ab x ac (unnormalized) for triangles
+#   k  — plane offset n.p0
+#   ua, ca — u dual vector/offset: u = o.ua + ca + t * d.ua
+#            rects: e_a/(a1-a0), -a0/(a1-a0)  (rectangular.rs:37-44)
+#            tris:  (ac x n)/|n|^2, -ua.v0 — the barycentric dual basis
+#                   (ua.ab = 1, ua.ac = 0), so u is triangular.rs:110's u
+#   ub, cb — likewise (tris: (n x ab)/|n|^2)
+#   flag — 1 for triangles, 0 for rects
+# d-features [dx dy dz] against tab_pd -> stacked (3*R, L) planes
+#   [DF; U1; V1] = [n; ua; ub] . d
+# o-features [ox oy oz 1] against tab_po -> stacked (4*R, L) planes
+#   [NUM; U0; V0; FLAG] = [k - o.n; o.ua + ca; o.ub + cb; flag]
+# so t = NUM/DF, u = U0 + t*U1, v = V0 + t*V1, hit iff
+#   t >= t_min & u >= 0 & v >= 0 & v <= 1 & u + flag*v <= 1
+# (flag=0 gives the rect bound u,v in [0,1]; flag=1 the triangle bound
+# u,v >= 0, u+v <= 1 — triangular.rs:120-124). Padded slots have all-zero
+# coefficients: t = 0/0 = NaN and NaN comparisons kill them.
+# Winner gather rows (tab_pg): the shading normal is barycentric-affine,
+# nsh = ns0 + u*nsu + v*nsv (rects: ns0 = e_f, nsu = nsv = 0; triangles:
+# ns0 = n0, nsu = n1-n0, nsv = n2-n0 — raw, unnormalized, matching
+# triangular.rs:126's interpolate_barycentric). Texture UVs likewise:
+# tex_u = tu0 + u*tuu + v*tuv (rects: identity; tris from uv0/uv1/uv2).
+_RP_NSX, _RP_NSY, _RP_NSZ = 0, 1, 2     # ns0
+_RP_NUX, _RP_NUY, _RP_NUZ = 3, 4, 5     # nsu
+_RP_NVX, _RP_NVY, _RP_NVZ = 6, 7, 8     # nsv
+_RP_MTYPE, _RP_FUZZ, _RP_IOR = 9, 10, 11
+_RP_TTYPE = 12
+_RP_C1R, _RP_C1G, _RP_C1B = 13, 14, 15
+_RP_C2R, _RP_C2G, _RP_C2B = 16, 17, 18
+_RP_TSCALE = 19
+_RP_TU0, _RP_TUU, _RP_TUV = 20, 21, 22
+_RP_TV0, _RP_TVU, _RP_TVV = 23, 24, 25
+PG_ROWS = 32
 
 _TWO_PI = 6.283185307179586
 
@@ -171,7 +189,7 @@ def _unit_vec(u1, u2):
 def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
             width: int, height: int, spp: int, max_depth: int,
             t_min: float, tile_b: int, r_pad: int = 0,
-            has_sph: bool = True, has_rect: bool = False,
+            has_sph: bool = True, has_planar: bool = False,
             ablate: str = ""):
     f = jnp.float32
     L = tile_b // 8  # per-ray state is (8, L): full VPU sublane utilization
@@ -180,8 +198,8 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
     if has_sph:
         tab_ref = refs[i_ref]
         i_ref += 1
-    if has_rect:
-        tab_rd_ref, tab_ro_ref, tab_rg_ref = refs[i_ref:i_ref + 3]
+    if has_planar:
+        tab_pd_ref, tab_po_ref, tab_pg_ref = refs[i_ref:i_ref + 3]
         i_ref += 3
     rad_ref, seg_ref = refs[i_ref], refs[i_ref + 1]
 
@@ -281,7 +299,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
         dn = (((0,), (0,)), ((), ()))  # contract the feature axis
         dng = (((1,), (0,)), ((), ()))  # contract the S axis
         tn_rows, param_rows = [], []
-        tr_rows, paramr_rows, dfw_rows = [], [], []
+        tr_rows, paramr_rows, uw_rows, vw_rows = [], [], [], []
         for s in range(8):
             def R(v):
                 return v[s:s + 1, :]           # sublane row s -> (1, L)
@@ -326,22 +344,24 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
                         tab_ref[:, :], onehot, dng,
                         preferred_element_type=f))                 # (P, L)
 
-            if has_rect:
-                # Rect planes: t = NUM/DF, u = U0 + t*U1, v = V0 + t*V1
-                # (rectangular.rs:30-64 semantics; see table layout above).
+            if has_planar:
+                # Planar planes (rects + triangles): t = NUM/DF,
+                # u = U0 + t*U1, v = V0 + t*V1 (see table layout above).
                 fd = jnp.concatenate([R(dx), R(dy), R(dz)], axis=0)
                 fo = jnp.concatenate([R(ox), R(oy), R(oz), R(one_f)], axis=0)
-                md = jax.lax.dot_general(tab_rd_ref[:, :], fd, dn,
+                md = jax.lax.dot_general(tab_pd_ref[:, :], fd, dn,
                                          preferred_element_type=f)
-                mo = jax.lax.dot_general(tab_ro_ref[:, :], fo, dn,
+                mo = jax.lax.dot_general(tab_po_ref[:, :], fo, dn,
                                          preferred_element_type=f)
                 df = md[0:r_pad]
                 t_rp = mo[0:r_pad] / df                           # (R, L)
                 u = mo[r_pad:2 * r_pad] + t_rp * md[r_pad:2 * r_pad]
-                v = mo[2 * r_pad:] + t_rp * md[2 * r_pad:]
+                v = (mo[2 * r_pad:3 * r_pad]
+                     + t_rp * md[2 * r_pad:3 * r_pad])
+                flag = mo[3 * r_pad:]         # 1 = triangle bound, 0 = rect
                 # Padded slots give t = 0/0 = NaN; NaN comparisons are false.
-                ok = ((t_rp >= f(t_min)) & (u >= 0.0) & (u <= 1.0)
-                      & (v >= 0.0) & (v <= 1.0))
+                ok = ((t_rp >= f(t_min)) & (u >= 0.0) & (v >= 0.0)
+                      & (v <= 1.0) & (u + flag * v <= 1.0))
                 tneg = jnp.where(ok, -t_rp, f(-_BIG))
                 trn = jnp.max(tneg, axis=0, keepdims=True)        # (1, L)
                 hit_row = trn > f(-1.0e37)
@@ -349,10 +369,16 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
                 ohr = jnp.where((tneg == trn) & hit_row, f(1.0), f(0.0))
                 if "nogather" not in ablate:
                     paramr_rows.append(jax.lax.dot_general(
-                        tab_rg_ref[:, :], ohr, dng,
-                        preferred_element_type=f))                # (PR, L)
-                # d.e_f at the winner: sign gives the front face.
-                dfw_rows.append(jnp.sum(ohr * df, axis=0, keepdims=True))
+                        tab_pg_ref[:, :], ohr, dng,
+                        preferred_element_type=f))                # (PG, L)
+                    # Winner's in-plane coordinates (normal/UV interp).
+                    # Sanitize through `ok` first: padded slots carry
+                    # u = NaN (0/0 t), and 0 * NaN = NaN would poison the
+                    # one-hot reduction.
+                    u_ok = jnp.where(ok, u, f(0.0))
+                    v_ok = jnp.where(ok, v, f(0.0))
+                    uw_rows.append(jnp.sum(ohr * u_ok, axis=0, keepdims=True))
+                    vw_rows.append(jnp.sum(ohr * v_ok, axis=0, keepdims=True))
 
         def _stack(rows):
             return jnp.concatenate(rows, axis=0)                  # (8, L)
@@ -363,34 +389,39 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
             t_s = jnp.where(hit_s, -tn_best / a, f(_BIG))
         else:
             t_s = one_f * f(_BIG)
-        if has_rect:
+        if has_planar:
             t_r = _stack(tr_rows)
-            dfw = _stack(dfw_rows)
             rect_w = t_r < t_s                                    # (8, L)
         else:
             rect_w = None
 
-        t_hit = jnp.minimum(t_s, t_r) if has_rect else t_s
+        t_hit = jnp.minimum(t_s, t_r) if has_planar else t_s
         hit = t_hit < f(1.0e37)
         t_safe = jnp.where(hit, t_hit, 0.0)
 
         if "nogather" in ablate:  # timing ablation: constant hit params
+            u_w = v_w = one_f * 0.5
+
             def G(r):
                 return one_f * 0.5
 
             def Gr(r):
                 return one_f * 0.5
         else:
+            if has_planar:
+                u_w = _stack(uw_rows)
+                v_w = _stack(vw_rows)
+
             def G(r):  # gathered sphere-winner row r, restacked to (8, L)
                 return _stack([p[r:r + 1, :] for p in param_rows])
 
-            def Gr(r):  # gathered rect-winner row r, restacked to (8, L)
+            def Gr(r):  # gathered planar-winner row r, restacked to (8, L)
                 return _stack([p[r:r + 1, :] for p in paramr_rows])
 
-        if has_sph and has_rect:
+        if has_sph and has_planar:
             def G2(rs, rr):  # family-merged hit param
                 return jnp.where(rect_w, Gr(rr), G(rs))
-        elif has_rect:
+        elif has_planar:
             def G2(rs, rr):
                 return Gr(rr)
         else:
@@ -420,12 +451,16 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
             front = d_dot_n < 0.0
             sgn = jnp.where(front, f(1.0), f(-1.0))
             nx, ny, nz = nx * sgn, ny * sgn, nz * sgn  # front-face flip
-        if has_rect:
-            front_r = dfw < 0.0                # outward normal = e_f
+        if has_planar:
+            # Barycentric-affine shading normal, raw/unnormalized
+            # (triangular.rs:126 semantics; rects reduce to e_f). Front face
+            # from d . nsh (hittable/mod.rs:40-45).
+            nrx = Gr(_RP_NSX) + u_w * Gr(_RP_NUX) + v_w * Gr(_RP_NVX)
+            nry = Gr(_RP_NSY) + u_w * Gr(_RP_NUY) + v_w * Gr(_RP_NVY)
+            nrz = Gr(_RP_NSZ) + u_w * Gr(_RP_NUZ) + v_w * Gr(_RP_NVZ)
+            front_r = (dx * nrx + dy * nry + dz * nrz) < 0.0
             rsgn = jnp.where(front_r, f(1.0), f(-1.0))
-            nrx = Gr(_RR_NX) * rsgn
-            nry = Gr(_RR_NY) * rsgn
-            nrz = Gr(_RR_NZ) * rsgn
+            nrx, nry, nrz = nrx * rsgn, nry * rsgn, nrz * rsgn
             if has_sph:
                 nx = jnp.where(rect_w, nrx, nx)
                 ny = jnp.where(rect_w, nry, ny)
@@ -434,19 +469,29 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
             else:
                 nx, ny, nz, front = nrx, nry, nrz, front_r
 
-        # -- texture (solid / checker; texture.rs:71-80) ---------------------
-        scale = G2(_R_TSCALE, _RR_TSCALE)
+        # -- texture (solid / checker / uv-debug; texture.rs:71-104) ---------
+        scale = G2(_R_TSCALE, _RP_TSCALE)
         sines = (jnp.sin(scale * px) * jnp.sin(scale * py)
                  * jnp.sin(scale * pz))
         odd = sines < 0.0
-        is_checker = G2(_R_TTYPE, _RR_TTYPE) == 1.0
-        use2 = is_checker & odd
-        tex_r = jnp.where(use2, G2(_R_C2R, _RR_C2R), G2(_R_C1R, _RR_C1R))
-        tex_g = jnp.where(use2, G2(_R_C2G, _RR_C2G), G2(_R_C1G, _RR_C1G))
-        tex_b = jnp.where(use2, G2(_R_C2B, _RR_C2B), G2(_R_C1B, _RR_C1B))
+        ttype = G2(_R_TTYPE, _RP_TTYPE)
+        use2 = (ttype == 1.0) & odd
+        tex_r = jnp.where(use2, G2(_R_C2R, _RP_C2R), G2(_R_C1R, _RP_C1R))
+        tex_g = jnp.where(use2, G2(_R_C2G, _RP_C2G), G2(_R_C1G, _RP_C1G))
+        tex_b = jnp.where(use2, G2(_R_C2B, _RP_C2B), G2(_R_C1B, _RP_C1B))
+        if has_planar:
+            # UVDebug = (u, v, 0) (texture.rs:97-104). ttype 4 only ever
+            # appears on planar primitives (builder gating), so the sphere
+            # branch of G2 can never select it.
+            tex_u = Gr(_RP_TU0) + u_w * Gr(_RP_TUU) + v_w * Gr(_RP_TUV)
+            tex_v = Gr(_RP_TV0) + u_w * Gr(_RP_TVU) + v_w * Gr(_RP_TVV)
+            uvdbg = ttype == 4.0
+            tex_r = jnp.where(uvdbg, tex_u, tex_r)
+            tex_g = jnp.where(uvdbg, tex_v, tex_g)
+            tex_b = jnp.where(uvdbg, tex_b * 0.0, tex_b)
 
         # -- scatter union (materials.scatter) ------------------------------
-        mtype = G2(_R_MTYPE, _RR_MTYPE)
+        mtype = G2(_R_MTYPE, _RP_MTYPE)
         inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + f(1e-20))
         ux, uy, uz = dx * inv_len, dy * inv_len, dz * inv_len
 
@@ -479,7 +524,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
         m1_, m2_, m3_, _ = _rand4(rid, depth_u, rt_rng.SALT_METAL, seed)
         bx, by, bz = _unit_vec(m1_, m2_)
         brad = jnp.exp(jnp.log(jnp.maximum(m3_, f(1e-30))) * f(1.0 / 3.0))
-        fuzz = G2(_R_FUZZ, _RR_FUZZ)
+        fuzz = G2(_R_FUZZ, _RP_FUZZ)
         u_dot_n = ux * nx + uy * ny + uz * nz
         metx = ux - 2.0 * u_dot_n * nx + fuzz * bx * brad
         mety = uy - 2.0 * u_dot_n * ny + fuzz * by * brad
@@ -488,7 +533,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
 
         # Dielectric (material.rs:115-142)
         e1, _, _, _ = _rand4(rid, depth_u, rt_rng.SALT_DIELECTRIC, seed)
-        ior = G2(_R_IOR, _RR_IOR)
+        ior = G2(_R_IOR, _RP_IOR)
         ratio = jnp.where(front, 1.0 / jnp.maximum(ior, f(1e-6)), ior)
         cos_t = jnp.minimum(-u_dot_n, 1.0)
         sin_t = jnp.sqrt(jnp.maximum(f(1e-12), 1.0 - cos_t * cos_t))
@@ -611,60 +656,136 @@ def _build_table(scene: SceneData, s_pad: int) -> Array:
     return tab
 
 
-def _build_rect_tables(scene: SceneData, r_pad: int):
-    """(tab_rd (3, 3*r_pad), tab_ro (4, 3*r_pad), tab_rg (PR_ROWS, r_pad)).
+def _build_planar_tables(scene: SceneData, r_pad: int,
+                         with_rects: bool, with_tris: bool):
+    """(tab_pd (3, 3*r_pad), tab_po (4, 4*r_pad), tab_pg (PG_ROWS, r_pad)).
 
-    Column blocks of tab_rd/tab_ro: [DF | U1 | V1] and [NUM | U0 | V0]
-    coefficient sets (see the row-layout comment at the top). Bounds are
-    pre-divided by the extent so u/v come out normalized to [0, 1]
-    (rectangular.rs:37-44 semantics).
+    Unified rect + triangle coefficient tables (row-layout comment at the
+    top). Column order: rects first, then triangles, then padding. Invalid/
+    padded slots carry all-zero coefficients so t = 0/0 = NaN.
     """
-    rc = scene.rects
     mt = scene.materials
     tx = scene.textures
-    R = rc.axis.shape[0]
-    f_ax = jnp.asarray(rc.axis)                  # fixed axis (0/1/2)
-    # varying axes in the reference UV order (scene.data.Rects docstring)
-    a_ax = jnp.where(f_ax == 0, 1, 0)
-    b_ax = jnp.where(f_ax == 2, 1, 2)
-    valid = rc.valid
-    eye = jnp.eye(3, dtype=jnp.float32)
-    vf = jnp.where(valid[:, None], eye[f_ax], 0.0)      # (R, 3)
-    inv_da = jnp.where(valid, 1.0 / jnp.where(rc.a1 == rc.a0, 1.0,
-                                              rc.a1 - rc.a0), 0.0)
-    inv_db = jnp.where(valid, 1.0 / jnp.where(rc.b1 == rc.b0, 1.0,
-                                              rc.b1 - rc.b0), 0.0)
-    va = eye[a_ax] * inv_da[:, None]                    # (R, 3)
-    vb = eye[b_ax] * inv_db[:, None]
 
-    def padc(m, rows):  # (R, rows) -> (r_pad, rows), transposed to (rows, .)
-        m = jnp.pad(m.astype(jnp.float32), ((0, r_pad - R), (0, 0)))
+    # Per-primitive columns, built as (R, ...) numpy-ish jnp blocks.
+    n_rows, k_rows = [], []
+    ua_rows, ca_rows, ub_rows, cb_rows = [], [], [], []
+    flag_rows, mat_rows = [], []
+    ns0_rows, nsu_rows, nsv_rows = [], [], []
+    tu_rows, tv_rows = [], []   # (R, 3) affine coeffs (c0, cu, cv)
+
+    if with_rects:
+        rc = scene.rects
+        f_ax = jnp.asarray(rc.axis)              # fixed axis (0/1/2)
+        # varying axes in the reference UV order (scene.data.Rects docstring)
+        a_ax = jnp.where(f_ax == 0, 1, 0)
+        b_ax = jnp.where(f_ax == 2, 1, 2)
+        valid = rc.valid
+        eye = jnp.eye(3, dtype=jnp.float32)
+        vf = jnp.where(valid[:, None], eye[f_ax], 0.0)      # (R, 3)
+        inv_da = jnp.where(valid, 1.0 / jnp.where(rc.a1 == rc.a0, 1.0,
+                                                  rc.a1 - rc.a0), 0.0)
+        inv_db = jnp.where(valid, 1.0 / jnp.where(rc.b1 == rc.b0, 1.0,
+                                                  rc.b1 - rc.b0), 0.0)
+        R = rc.axis.shape[0]
+        zc = jnp.zeros((R,), jnp.float32)
+        vld = valid.astype(jnp.float32)
+        n_rows.append(vf)
+        k_rows.append(jnp.where(valid, rc.k, 0.0))
+        ua_rows.append(eye[a_ax] * inv_da[:, None])
+        ca_rows.append(-rc.a0 * inv_da)
+        ub_rows.append(eye[b_ax] * inv_db[:, None])
+        cb_rows.append(-rc.b0 * inv_db)
+        flag_rows.append(zc)
+        mat_rows.append(rc.mat)
+        ns0_rows.append(vf)
+        nsu_rows.append(jnp.zeros((R, 3), jnp.float32))
+        nsv_rows.append(jnp.zeros((R, 3), jnp.float32))
+        # tex_u = u, tex_v = v
+        tu_rows.append(jnp.stack([zc, vld, zc], axis=1))
+        tv_rows.append(jnp.stack([zc, zc, vld], axis=1))
+
+    if with_tris:
+        tr = scene.triangles
+        valid = tr.valid
+        vld3 = valid.astype(jnp.float32)[:, None]
+        ab = (tr.v1 - tr.v0) * vld3
+        ac = (tr.v2 - tr.v0) * vld3
+        n = jnp.cross(ab, ac)                               # (T, 3)
+        nsq = jnp.sum(n * n, axis=1)
+        inv_nsq = jnp.where(nsq > 0.0, 1.0 / jnp.where(nsq == 0, 1.0, nsq),
+                            0.0)[:, None]                   # degenerate -> 0
+        ua = jnp.cross(ac, n) * inv_nsq                     # ua.ab=1, ua.ac=0
+        ub = jnp.cross(n, ab) * inv_nsq                     # ub.ab=0, ub.ac=1
+        nz = jnp.where(valid[:, None] & (nsq > 0.0)[:, None], 1.0, 0.0)
+        n = n * nz
+        ua, ub = ua * nz, ub * nz
+        n_rows.append(n)
+        k_rows.append(jnp.sum(n * tr.v0, axis=1))
+        ua_rows.append(ua)
+        ca_rows.append(-jnp.sum(ua * tr.v0, axis=1))
+        ub_rows.append(ub)
+        cb_rows.append(-jnp.sum(ub * tr.v0, axis=1))
+        flag_rows.append(jnp.where(valid, 1.0, 0.0))
+        mat_rows.append(tr.mat)
+        ns0_rows.append(tr.n0 * vld3)
+        nsu_rows.append((tr.n1 - tr.n0) * vld3)
+        nsv_rows.append((tr.n2 - tr.n0) * vld3)
+        # tex affine from per-vertex UVs: tex = uv0 + u*(uv1-uv0) + v*(uv2-uv0)
+        uv0, uv1, uv2 = tr.uv0 * vld3[:, :2], tr.uv1, tr.uv2
+        tu_rows.append(jnp.stack(
+            [uv0[:, 0], (uv1 - uv0)[:, 0], (uv2 - uv0)[:, 0]], axis=1) * vld3)
+        tv_rows.append(jnp.stack(
+            [uv0[:, 1], (uv1 - uv0)[:, 1], (uv2 - uv0)[:, 1]], axis=1) * vld3)
+
+    def cat(rows):
+        return jnp.concatenate(rows, axis=0)
+
+    n_all = cat(n_rows).astype(jnp.float32)                 # (R, 3)
+    ua_all = cat(ua_rows).astype(jnp.float32)
+    ub_all = cat(ub_rows).astype(jnp.float32)
+    R = n_all.shape[0]
+
+    def padc(m, rows):  # (R, rows) -> transposed (rows, r_pad)
+        m = jnp.pad(m.astype(jnp.float32).reshape(R, rows),
+                    ((0, r_pad - R), (0, 0)))
         return m.T
 
-    tab_rd = jnp.concatenate(
-        [padc(vf, 3), padc(va, 3), padc(vb, 3)], axis=1)    # (3, 3*r_pad)
-    num_c = jnp.concatenate([-vf, jnp.where(valid, rc.k, 0.0)[:, None]], 1)
-    u0_c = jnp.concatenate([va, (-rc.a0 * inv_da)[:, None]], 1)
-    v0_c = jnp.concatenate([vb, (-rc.b0 * inv_db)[:, None]], 1)
-    tab_ro = jnp.concatenate(
-        [padc(num_c, 4), padc(u0_c, 4), padc(v0_c, 4)], axis=1)  # (4, 3r_pad)
+    tab_pd = jnp.concatenate(
+        [padc(n_all, 3), padc(ua_all, 3), padc(ub_all, 3)], axis=1)
+    num_c = jnp.concatenate([-n_all, cat(k_rows)[:, None]], 1)
+    u0_c = jnp.concatenate([ua_all, cat(ca_rows)[:, None]], 1)
+    v0_c = jnp.concatenate([ub_all, cat(cb_rows)[:, None]], 1)
+    zero3 = jnp.zeros((R, 3), jnp.float32)
+    fl_c = jnp.concatenate([zero3, cat(flag_rows)[:, None]], 1)
+    tab_po = jnp.concatenate(
+        [padc(num_c, 4), padc(u0_c, 4), padc(v0_c, 4), padc(fl_c, 4)], axis=1)
 
-    mat = rc.mat
+    mat = cat(mat_rows)
     tid = mt.tex[mat]
     c1c = tx.color1[tid]
     c2c = tx.color2[tid]
+    ns0 = cat(ns0_rows)
+    nsu = cat(nsu_rows)
+    nsv = cat(nsv_rows)
+    tu = cat(tu_rows)
+    tv = cat(tv_rows)
     rows = [
-        vf[:, 0], vf[:, 1], vf[:, 2],
+        ns0[:, 0], ns0[:, 1], ns0[:, 2],
+        nsu[:, 0], nsu[:, 1], nsu[:, 2],
+        nsv[:, 0], nsv[:, 1], nsv[:, 2],
         mt.mtype[mat].astype(jnp.float32), mt.fuzz[mat], mt.ior[mat],
         tx.ttype[tid].astype(jnp.float32),
         c1c[:, 0], c1c[:, 1], c1c[:, 2],
         c2c[:, 0], c2c[:, 1], c2c[:, 2],
         tx.scale[tid],
+        tu[:, 0], tu[:, 1], tu[:, 2],
+        tv[:, 0], tv[:, 1], tv[:, 2],
     ]
-    tab_rg = jnp.stack(rows, axis=0).astype(jnp.float32)
-    tab_rg = jnp.pad(tab_rg, ((0, PR_ROWS - tab_rg.shape[0]),
+    tab_pg = jnp.stack(rows, axis=0).astype(jnp.float32)
+    tab_pg = jnp.pad(tab_pg, ((0, PG_ROWS - tab_pg.shape[0]),
                               (0, r_pad - R)))
-    return tab_rd, tab_ro, tab_rg
+    return tab_pd, tab_po, tab_pg
 
 
 def _pack_par(scene: SceneData, cam: Camera) -> Array:
@@ -712,12 +833,17 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     # with one invalid dummy row, so shapes alone can't prove absence).
     S = scene.spheres.radius.shape[0]
     Rn = scene.rects.axis.shape[0]
+    Tn = scene.triangles.mat.shape[0]
     if static is not None:
-        has_sph, has_rect = static.n_spheres > 0, static.n_rects > 0
+        has_sph = static.n_spheres > 0
+        with_rects = static.n_rects > 0
+        with_tris = static.n_triangles > 0
     else:
-        has_sph, has_rect = S > 0, Rn > 0
+        has_sph, with_rects, with_tris = S > 0, Rn > 0, Tn > 0
+    has_planar = with_rects or with_tris
+    n_planar = (Rn if with_rects else 0) + (Tn if with_tris else 0)
     s_pad = s_pad_override or _round_up(max(S, 128), 128)
-    r_pad = _round_up(max(Rn, 128), 128) if has_rect else 0
+    r_pad = _round_up(max(n_planar, 128), 128) if has_planar else 0
     # (8, L) state needs tile_b = 8*L with L a lane multiple: tile % 1024.
     tile_b = _round_up(tile_override or _tile_b(max(s_pad, r_pad)), 1024)
     b_pad = _round_up(max(n_chunk, tile_b), tile_b)
@@ -729,15 +855,16 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         tabs.append(_build_table(scene, s_pad))
         tab_specs.append(pl.BlockSpec((P_ROWS, s_pad), lambda i: (0, 0),
                                       memory_space=pltpu.VMEM))
-    if has_rect:
-        tab_rd, tab_ro, tab_rg = _build_rect_tables(scene, r_pad)
-        tabs += [tab_rd, tab_ro, tab_rg]
+    if has_planar:
+        tab_pd, tab_po, tab_pg = _build_planar_tables(
+            scene, r_pad, with_rects, with_tris)
+        tabs += [tab_pd, tab_po, tab_pg]
         tab_specs += [
             pl.BlockSpec((3, 3 * r_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 3 * r_pad), lambda i: (0, 0),
+            pl.BlockSpec((4, 4 * r_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PR_ROWS, r_pad), lambda i: (0, 0),
+            pl.BlockSpec((PG_ROWS, r_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
     par = _pack_par(scene, cam)
@@ -767,7 +894,7 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         _kernel, width=cfg.width, height=cfg.height,
         spp=cfg.samples_per_pixel, max_depth=cfg.max_depth,
         t_min=cfg.t_min, tile_b=tile_b, r_pad=r_pad,
-        has_sph=has_sph, has_rect=has_rect, ablate=ablate)
+        has_sph=has_sph, has_planar=has_planar, ablate=ablate)
 
     out_rad = pl.BlockSpec((24, lanes_l), lambda i: (0, i),
                            memory_space=pltpu.VMEM)
@@ -808,5 +935,5 @@ def fused_supported(static: SceneStatic, cfg: RenderConfig) -> bool:
     """The fused megakernel handles this (scene, config)."""
     return (static.fused_simple
             and static.n_spheres <= 8192
-            and static.n_rects <= 8192
+            and static.n_rects + static.n_triangles <= 16384
             and cfg.width > 1 and cfg.height > 1)

@@ -493,24 +493,29 @@ class _Compiler:
             background=jnp.asarray(background, jnp.float32),
             sphere_bvh=sphere_bvh, triangle_bvh=triangle_bvh,
         )
-        # Fused-megakernel eligibility: sphere/rect-only scene whose
-        # materials are Lambertian/Metal/Dielectric/DiffuseLight over
-        # solid/checker textures (ops.pallas.megakernel scope).
+        # Fused-megakernel eligibility: sphere/rect/triangle scene (no
+        # volumes) whose materials are Lambertian/Metal/Dielectric/
+        # DiffuseLight over solid/checker textures; planar primitives may
+        # additionally use UVDebug since the kernel interpolates their UVs
+        # (ops.pallas.megakernel scope).
         fused_simple = False
-        if (n_spheres or n_rects) and not (n_tris or n_vols):
-            used = []
+        if (n_spheres or n_rects or n_tris) and not n_vols:
+            def _used(mat, valid):
+                m = np.asarray(mat)[np.asarray(valid)]
+                return (np.asarray(materials.mtype)[m],
+                        np.asarray(textures.ttype)[np.asarray(materials.tex)[m]])
+
+            ok = True
             if n_spheres:
-                used.append(np.asarray(spheres.mat)[np.asarray(spheres.valid)])
-            if n_rects:
-                used.append(np.asarray(rects.mat)[np.asarray(rects.valid)])
-            used_mats = np.concatenate(used)
-            mtypes = np.asarray(materials.mtype)[used_mats]
-            ttypes = np.asarray(textures.ttype)[
-                np.asarray(materials.tex)[used_mats]]
-            fused_simple = bool(
-                np.all(np.isin(mtypes, (0, 1, 2, 3)))
-                and np.all(np.isin(ttypes, (0, 1)))
-            )
+                mtypes, ttypes = _used(spheres.mat, spheres.valid)
+                ok &= bool(np.all(np.isin(mtypes, (0, 1, 2, 3)))
+                           and np.all(np.isin(ttypes, (0, 1))))
+            for present, fam in ((n_rects, rects), (n_tris, tris)):
+                if present:
+                    mtypes, ttypes = _used(fam.mat, fam.valid)
+                    ok &= bool(np.all(np.isin(mtypes, (0, 1, 2, 3)))
+                               and np.all(np.isin(ttypes, (0, 1, 4))))
+            fused_simple = ok
 
         static = SceneStatic(
             n_spheres=n_spheres, n_rects=n_rects, n_triangles=n_tris,

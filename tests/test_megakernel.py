@@ -80,15 +80,62 @@ def test_chunked_equals_whole():
                                   np.concatenate([np.asarray(a), np.asarray(b)]))
 
 
-def test_cornell_not_eligible():
-    """Full cornell (rotated cuboids -> triangles) stays on the staged
-    wavefront path; plain rects alone are fused-eligible now."""
-    cfg = RenderConfig(width=16, height=16, samples_per_pixel=1, max_depth=2)
-    objs, cams, bg = cornell_box(1.0)
-    _, static = B.build_scene(objs, background=bg)
-    assert static.n_triangles > 0        # the rotated boxes
-    assert not static.fused_simple
-    assert not fused_supported(static, cfg)
+def test_cornell_matches_staged_path():
+    """Full cornell — walls (rects) + rotated cuboids (triangles) — runs
+    fused: the unified planar family covers both."""
+    ref, ref_seg, got, seg, n = _compare(cornell_box, {}, width=24, height=24,
+                                         spp=4, depth=6, seed=11)
+    assert abs(int(seg.sum()) - ref_seg) <= max(4, n // 200)
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-3)
+    bad_lanes = np.unique(np.argwhere(rel > 0.05)[:, 0])
+    assert len(bad_lanes) <= max(4, n // 100)
+    assert np.abs(got - ref).mean() < 1e-3
+
+
+def test_simple_triangle_matches_staged_path():
+    """UVDebug triangle + checker ground: triangle bound, barycentric UV
+    interpolation, and the in-kernel UVDebug texture."""
+    from raytracer_weekend_tpu.models.scenes import simple_triangle
+    ref, ref_seg, got, seg, n = _compare(simple_triangle, {}, width=24,
+                                         height=24, spp=4, depth=6, seed=13)
+    assert abs(int(seg.sum()) - ref_seg) <= max(4, n // 200)
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-3)
+    bad_lanes = np.unique(np.argwhere(rel > 0.05)[:, 0])
+    assert len(bad_lanes) <= max(4, n // 100)
+    assert np.abs(got - ref).mean() < 1e-3
+
+
+def test_mesh_scene_matches_staged_path():
+    """Smooth-shaded mesh triangles (vertex normals interpolated,
+    unnormalized — triangular.rs:126) agree with the staged path."""
+    from raytracer_weekend_tpu.camera import make_camera
+    from raytracer_weekend_tpu.scene.builder import (
+        DiffuseLight, Lambertian, Metal, Triangle, XZRectangle)
+
+    def mesh_scene(aspect):
+        rng = np.random.default_rng(42)
+        objs = [XZRectangle(-6, 6, -6, 6, -1.2, Lambertian((0.6, 0.6, 0.6))),
+                XZRectangle(-2, 2, -2, 2, 4.0, DiffuseLight((4, 4, 4)))]
+        mats = [Lambertian((0.8, 0.3, 0.3)), Metal((0.9, 0.9, 0.9), 0.05)]
+        for i in range(40):  # random smooth-shaded shards
+            v = rng.uniform(-2, 2, (3, 3)).astype(np.float32)
+            n = rng.normal(size=(3, 3)).astype(np.float32) * 1.5
+            objs.append(Triangle(
+                tuple(tuple(float(c) for c in x) for x in v), mats[i % 2],
+                normals=tuple(tuple(float(c) for c in x) for x in n)))
+        cam = make_camera(look_from=(0, 1, -8), look_at=(0, 0, 0),
+                          up_vector=(0, 1, 0), vertical_field_of_view=45.0,
+                          aspect_ratio=aspect, aperture=0.0,
+                          focus_dist=8.0, time0=0.0, time1=1.0)
+        return objs, [cam], (0.05, 0.05, 0.08)
+
+    ref, ref_seg, got, seg, n = _compare(mesh_scene, {}, width=24, height=24,
+                                         spp=4, depth=5, seed=17)
+    assert abs(int(seg.sum()) - ref_seg) <= max(4, n // 200)
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-3)
+    bad_lanes = np.unique(np.argwhere(rel > 0.05)[:, 0])
+    assert len(bad_lanes) <= max(4, n // 100)
+    assert np.abs(got - ref).mean() < 1e-3
 
 
 def _rect_room(aspect):
@@ -114,7 +161,7 @@ def _rect_room(aspect):
     ]
     cam = make_camera(look_from=(278, 278, -800), look_at=(278, 278, 0),
                       up_vector=(0, 1, 0), vertical_field_of_view=40.0,
-                      aspect_ratio=aspect, aperture=0.0, focus_distance=10.0,
+                      aspect_ratio=aspect, aperture=0.0, focus_dist=10.0,
                       time0=0.0, time1=1.0)
     return objs, [cam], (0.0, 0.0, 0.0)
 
@@ -142,7 +189,7 @@ def test_rect_only_scene_fused():
     ]
     cam = make_camera(look_from=(0, 2, 6), look_at=(0, 1, 0),
                       up_vector=(0, 1, 0), vertical_field_of_view=40.0,
-                      aspect_ratio=1.0, aperture=0.0, focus_distance=10.0,
+                      aspect_ratio=1.0, aperture=0.0, focus_dist=10.0,
                       time0=0.0, time1=1.0)
     scenef = lambda aspect: (objs, [cam], (0.05, 0.05, 0.08))  # noqa: E731
     ref, ref_seg, got, seg, n = _compare(scenef, {}, width=16, height=16,
