@@ -125,7 +125,26 @@ _RP_TU0, _RP_TUU, _RP_TUV = 20, 21, 22
 _RP_TV0, _RP_TVU, _RP_TVV = 23, 24, 25
 PG_ROWS = 32
 
+# Constant-medium volumes (volumes.rs:38-78) ride along as per-volume SMEM
+# scalars (V is <= 2 in every reference scene): boundary interval in closed
+# form (sphere quadratic / oriented-box slab with the volume's Y-rotation +
+# translation), then the probabilistic scatter distance
+#   hit_distance = -1/density * log10(U)        (volumes.rs:58 quirk)
+# competes in the closest-hit min like any other family (see ops/volume.py
+# for why exit-clamping by closest_so_far is equivalent). Rows of the
+# (V, VP_COLS) table:
+_VP_ISBOX = 0
+_VP_CX, _VP_CY, _VP_CZ, _VP_R2 = 1, 2, 3, 4
+_VP_B0X, _VP_B0Y, _VP_B0Z = 5, 6, 7
+_VP_B1X, _VP_B1Y, _VP_B1Z = 8, 9, 10
+_VP_COS, _VP_SIN = 11, 12
+_VP_OFFX, _VP_OFFY, _VP_OFFZ = 13, 14, 15
+_VP_NID = 16                         # -1/density
+_VP_CR, _VP_CG, _VP_CB = 17, 18, 19  # isotropic albedo (solid color)
+VP_COLS = 24
+
 _TWO_PI = 6.283185307179586
+_LN10_INV = 0.43429448190325176
 
 
 def _round_up(x: int, m: int) -> int:
@@ -190,7 +209,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
             width: int, height: int, spp: int, max_depth: int,
             t_min: float, tile_b: int, r_pad: int = 0,
             has_sph: bool = True, has_planar: bool = False,
-            ablate: str = ""):
+            n_vol: int = 0, ablate: str = ""):
     f = jnp.float32
     L = tile_b // 8  # per-ray state is (8, L): full VPU sublane utilization
 
@@ -201,6 +220,9 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
     if has_planar:
         tab_pd_ref, tab_po_ref, tab_pg_ref = refs[i_ref:i_ref + 3]
         i_ref += 3
+    if n_vol:
+        vp_ref = refs[i_ref]
+        i_ref += 1
     rad_ref, seg_ref = refs[i_ref], refs[i_ref + 1]
 
     def P(i):  # camera/background scalar
@@ -395,7 +417,83 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
         else:
             rect_w = None
 
+        if n_vol:
+            # Constant-medium candidates (volumes.rs:38-78): closed-form
+            # boundary interval in the volume's object frame, exponential
+            # scatter distance with the reference's log10 quirk. All
+            # elementwise VPU work on (8, L) with SMEM scalars; V <= 2 in
+            # every reference scene, so the loop is unrolled.
+            ray_len = jnp.sqrt(a)
+            inv_a = 1.0 / a
+            t_vol = one_f * f(_BIG)
+            vcr, vcg, vcb = zero_f, zero_f, zero_f
+            for vI in range(n_vol):
+                def VP(ii, _v=vI):
+                    return vp_ref[_v, ii]
+
+                cth, sth = VP(_VP_COS), VP(_VP_SIN)
+                otx = ox - VP(_VP_OFFX)
+                oty = oy - VP(_VP_OFFY)
+                otz = oz - VP(_VP_OFFZ)
+                oox = cth * otx - sth * otz
+                ooz = sth * otx + cth * otz
+                odx = cth * dx - sth * dz
+                odz = sth * dx + cth * dz
+                # Sphere boundary: quadratic roots. Y-rotation preserves
+                # |d|, so the world-space a serves as a_obj.
+                ocx = oox - VP(_VP_CX)
+                ocy = oty - VP(_VP_CY)
+                ocz = ooz - VP(_VP_CZ)
+                half_b = ocx * odx + ocy * dy + ocz * odz
+                c_t = ocx * ocx + ocy * ocy + ocz * ocz - VP(_VP_R2)
+                disc = half_b * half_b - a * c_t
+                sq = jnp.sqrt(disc)          # NaN on miss
+                ok_s = disc > 0.0
+                s_en = jnp.where(ok_s, (-half_b - sq) * inv_a, f(_BIG))
+                s_ex = jnp.where(ok_s, (-half_b + sq) * inv_a, f(-_BIG))
+                # Box boundary: slab test (aabb.rs:23-48).
+                ivx, ivy, ivz = 1.0 / odx, 1.0 / dy, 1.0 / odz
+                tx0 = (VP(_VP_B0X) - oox) * ivx
+                tx1 = (VP(_VP_B1X) - oox) * ivx
+                ty0 = (VP(_VP_B0Y) - oty) * ivy
+                ty1 = (VP(_VP_B1Y) - oty) * ivy
+                tz0 = (VP(_VP_B0Z) - ooz) * ivz
+                tz1 = (VP(_VP_B1Z) - ooz) * ivz
+                b_en = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                               jnp.minimum(ty0, ty1)),
+                                   jnp.minimum(tz0, tz1))
+                b_ex = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                               jnp.maximum(ty0, ty1)),
+                                   jnp.maximum(tz0, tz1))
+                ok_b = b_en < b_ex           # NaN (0*inf) compares false
+                b_en = jnp.where(ok_b, b_en, f(_BIG))
+                b_ex = jnp.where(ok_b, b_ex, f(-_BIG))
+                # Blend by the (scalar) boundary type; inputs are
+                # NaN-sanitized so the arithmetic mix is safe.
+                wbox = VP(_VP_ISBOX)
+                enter = wbox * b_en + (1.0 - wbox) * s_en
+                exitt = wbox * b_ex + (1.0 - wbox) * s_ex
+                # volumes.rs:44-53 clamps; scatter-distance sample :55-62.
+                enter = jnp.maximum(enter, f(t_min))
+                okv = enter < exitt
+                enter = jnp.maximum(enter, 0.0)
+                dist_in = (exitt - enter) * ray_len
+                uv0_, _, _, _ = _rand4(rid, depth_u,
+                                       rt_rng.SALT_VOLUME + vI, seed)
+                uv0_ = jnp.maximum(uv0_, f(1e-12))
+                hd = VP(_VP_NID) * (jnp.log(uv0_) * f(_LN10_INV))
+                cand = okv & (hd <= dist_in)
+                t_v = jnp.where(cand, enter + hd / ray_len, f(_BIG))
+                win = t_v < t_vol
+                vcr = jnp.where(win, zero_f + VP(_VP_CR), vcr)
+                vcg = jnp.where(win, zero_f + VP(_VP_CG), vcg)
+                vcb = jnp.where(win, zero_f + VP(_VP_CB), vcb)
+                t_vol = jnp.minimum(t_v, t_vol)
+
         t_hit = jnp.minimum(t_s, t_r) if has_planar else t_s
+        if n_vol:
+            vol_w = t_vol < t_hit
+            t_hit = jnp.minimum(t_hit, t_vol)
         hit = t_hit < f(1.0e37)
         t_safe = jnp.where(hit, t_hit, 0.0)
 
@@ -492,6 +590,13 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
 
         # -- scatter union (materials.scatter) ------------------------------
         mtype = G2(_R_MTYPE, _RP_MTYPE)
+        if n_vol:
+            # Volume winner: isotropic phase function over the medium's
+            # solid albedo (volumes.rs:64-68 + material.rs:154-163).
+            mtype = jnp.where(vol_w, f(4.0), mtype)
+            tex_r = jnp.where(vol_w, vcr, tex_r)
+            tex_g = jnp.where(vol_w, vcg, tex_g)
+            tex_b = jnp.where(vol_w, vcb, tex_b)
         inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + f(1e-20))
         ux, uy, uz = dx * inv_len, dy * inv_len, dz * inv_len
 
@@ -564,6 +669,15 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
         ndx = jnp.where(is_met, metx, jnp.where(is_die, diex, lamx))
         ndy = jnp.where(is_met, mety, jnp.where(is_die, diey, lamy))
         ndz = jnp.where(is_met, metz, jnp.where(is_die, diez, lamz))
+        if n_vol:
+            # Isotropic (material.rs:154-163): uniform ball direction.
+            q1, q2, q3, _ = _rand4(rid, depth_u, rt_rng.SALT_ISOTROPIC, seed)
+            qx, qy, qz = _unit_vec(q1, q2)
+            qrad = jnp.exp(jnp.log(jnp.maximum(q3, f(1e-30))) * f(1.0 / 3.0))
+            is_iso = mtype == 4.0
+            ndx = jnp.where(is_iso, qx * qrad, ndx)
+            ndy = jnp.where(is_iso, qy * qrad, ndy)
+            ndz = jnp.where(is_iso, qz * qrad, ndz)
 
         att_r = jnp.where(is_die, 1.0, jnp.where(is_light, 0.0, tex_r))
         att_g = jnp.where(is_die, 1.0, jnp.where(is_light, 0.0, tex_g))
@@ -788,6 +902,36 @@ def _build_planar_tables(scene: SceneData, r_pad: int,
     return tab_pd, tab_po, tab_pg
 
 
+def _build_vol_par(scene: SceneData) -> Array:
+    """(V, VP_COLS) per-volume SMEM scalars (row layout at the top).
+
+    Invalid rows are forced to never hit: sphere boundaries get r^2 = -1e30
+    (negative discriminant), box boundaries an empty [1, 0] slab.
+    """
+    from raytracer_weekend_tpu.scene.data import VOL_BOX
+
+    vol = scene.volumes
+    tid = scene.materials.tex[vol.mat]
+    col = scene.textures.color1[tid]
+    valid = vol.valid
+    r2 = jnp.where(valid, vol.radius * vol.radius, -1e30)
+    bmin = jnp.where(valid[:, None], vol.bmin, 1.0)
+    bmax = jnp.where(valid[:, None], vol.bmax, 0.0)
+    rows = [
+        (vol.vtype == VOL_BOX).astype(jnp.float32),
+        vol.center[:, 0], vol.center[:, 1], vol.center[:, 2],
+        r2,
+        bmin[:, 0], bmin[:, 1], bmin[:, 2],
+        bmax[:, 0], bmax[:, 1], bmax[:, 2],
+        vol.cos_t, vol.sin_t,
+        vol.offset[:, 0], vol.offset[:, 1], vol.offset[:, 2],
+        vol.neg_inv_density,
+        col[:, 0], col[:, 1], col[:, 2],
+    ]
+    tab = jnp.stack(rows, axis=1).astype(jnp.float32)      # (V, 20)
+    return jnp.pad(tab, ((0, 0), (0, VP_COLS - tab.shape[1])))
+
+
 def _pack_par(scene: SceneData, cam: Camera) -> Array:
     parts = [
         cam.origin, cam.lower_left, cam.horizontal, cam.vertical,
@@ -834,12 +978,15 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     S = scene.spheres.radius.shape[0]
     Rn = scene.rects.axis.shape[0]
     Tn = scene.triangles.mat.shape[0]
+    Vn = scene.volumes.vtype.shape[0]
     if static is not None:
         has_sph = static.n_spheres > 0
         with_rects = static.n_rects > 0
         with_tris = static.n_triangles > 0
+        n_vol = static.n_volumes
     else:
         has_sph, with_rects, with_tris = S > 0, Rn > 0, Tn > 0
+        n_vol = Vn
     has_planar = with_rects or with_tris
     n_planar = (Rn if with_rects else 0) + (Tn if with_tris else 0)
     s_pad = s_pad_override or _round_up(max(S, 128), 128)
@@ -867,6 +1014,9 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
             pl.BlockSpec((PG_ROWS, r_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
+    if n_vol:
+        tabs.append(_build_vol_par(scene))
+        tab_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     par = _pack_par(scene, cam)
     ipar = jnp.stack([
         jnp.asarray(lane_start, jnp.int32),
@@ -894,7 +1044,7 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         _kernel, width=cfg.width, height=cfg.height,
         spp=cfg.samples_per_pixel, max_depth=cfg.max_depth,
         t_min=cfg.t_min, tile_b=tile_b, r_pad=r_pad,
-        has_sph=has_sph, has_planar=has_planar, ablate=ablate)
+        has_sph=has_sph, has_planar=has_planar, n_vol=n_vol, ablate=ablate)
 
     out_rad = pl.BlockSpec((24, lanes_l), lambda i: (0, i),
                            memory_space=pltpu.VMEM)
@@ -936,4 +1086,5 @@ def fused_supported(static: SceneStatic, cfg: RenderConfig) -> bool:
     return (static.fused_simple
             and static.n_spheres <= 8192
             and static.n_rects + static.n_triangles <= 16384
+            and static.n_volumes <= 8      # unrolled in-kernel
             and cfg.width > 1 and cfg.height > 1)

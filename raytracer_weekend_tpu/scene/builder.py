@@ -493,13 +493,14 @@ class _Compiler:
             background=jnp.asarray(background, jnp.float32),
             sphere_bvh=sphere_bvh, triangle_bvh=triangle_bvh,
         )
-        # Fused-megakernel eligibility: sphere/rect/triangle scene (no
-        # volumes) whose materials are Lambertian/Metal/Dielectric/
-        # DiffuseLight over solid/checker textures; planar primitives may
-        # additionally use UVDebug since the kernel interpolates their UVs
-        # (ops.pallas.megakernel scope).
+        # Fused-megakernel eligibility: sphere/rect/triangle scene whose
+        # materials are Lambertian/Metal/Dielectric/DiffuseLight over
+        # solid/checker textures; planar primitives may additionally use
+        # UVDebug since the kernel interpolates their UVs; constant-medium
+        # volumes qualify when their isotropic phase texture is a solid
+        # color (every reference scene's are) (ops.pallas.megakernel scope).
         fused_simple = False
-        if (n_spheres or n_rects or n_tris) and not n_vols:
+        if n_spheres or n_rects or n_tris:
             def _used(mat, valid):
                 m = np.asarray(mat)[np.asarray(valid)]
                 return (np.asarray(materials.mtype)[m],
@@ -515,6 +516,9 @@ class _Compiler:
                     mtypes, ttypes = _used(fam.mat, fam.valid)
                     ok &= bool(np.all(np.isin(mtypes, (0, 1, 2, 3)))
                                and np.all(np.isin(ttypes, (0, 1, 4))))
+            if n_vols:
+                mtypes, ttypes = _used(vols.mat, vols.valid)
+                ok &= bool(np.all(mtypes == 4) and np.all(ttypes == 0))
             fused_simple = ok
 
         static = SceneStatic(

@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=str, default=None,
                    help="device mesh shape rays,spp,geom e.g. 4,1,2")
     p.add_argument("-o", "--out-dir", default="render")
+    p.add_argument("--pallas", action="store_true",
+                   help="force the fused Pallas megakernel path (on CPU it "
+                        "runs in interpret mode — slow, for validation)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (tests/debug)")
     p.add_argument("--stream", metavar="PATH", default=None,
@@ -60,7 +63,8 @@ def main(argv=None) -> int:
     cfg = RenderConfig.from_aspect(
         width=args.width, aspect_ratio=args.aspect_ratio,
         samples_per_pixel=args.samples_per_pixel, max_depth=args.max_depth,
-        seed=args.seed, ray_batch=args.ray_batch)
+        seed=args.seed, ray_batch=args.ray_batch,
+        use_pallas=True if args.pallas else "auto")
 
     print(f"building scene {args.scene!r} ...", flush=True)
     scene, static, cams = generate_scene(args.scene, cfg.aspect_ratio,

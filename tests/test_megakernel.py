@@ -138,6 +138,50 @@ def test_mesh_scene_matches_staged_path():
     assert np.abs(got - ref).mean() < 1e-3
 
 
+def test_smokey_cornell_matches_staged_path():
+    """Constant-medium smoke cuboids (rotated box boundaries) + walls: the
+    in-kernel volume candidates and isotropic scatter match the staged path
+    (including the reference's log10 distance quirk, volumes.rs:58)."""
+    from raytracer_weekend_tpu.models.scenes import smokey_cornell_box
+    ref, ref_seg, got, seg, n = _compare(smokey_cornell_box, {}, width=24,
+                                         height=24, spp=4, depth=6, seed=19)
+    assert abs(int(seg.sum()) - ref_seg) <= max(4, n // 200)
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-3)
+    bad_lanes = np.unique(np.argwhere(rel > 0.05)[:, 0])
+    assert len(bad_lanes) <= max(4, n // 100)
+    assert np.abs(got - ref).mean() < 1e-3
+
+
+def test_sphere_medium_matches_staged_path():
+    """Sphere-boundary medium (book2's subsurface ball) in the megakernel."""
+    from raytracer_weekend_tpu.camera import make_camera
+    from raytracer_weekend_tpu.scene.builder import (
+        ConstantMedium, DiffuseLight, Lambertian, SolidColor, Sphere,
+        XZRectangle)
+
+    def medium_scene(aspect):
+        objs = [
+            XZRectangle(-6, 6, -6, 6, -1.5, Lambertian((0.5, 0.5, 0.5))),
+            XZRectangle(-2, 2, -2, 2, 5.0, DiffuseLight((5, 5, 5))),
+            ConstantMedium(Sphere((0.0, 0.0, 0.0), 1.2, Lambertian((1, 1, 1))),
+                           density=0.6, texture=SolidColor((0.2, 0.4, 0.9))),
+            Sphere((2.5, 0.0, 0.5), 0.8, Lambertian((0.8, 0.2, 0.2))),
+        ]
+        cam = make_camera(look_from=(0, 1, -7), look_at=(0, 0, 0),
+                          up_vector=(0, 1, 0), vertical_field_of_view=40.0,
+                          aspect_ratio=aspect, aperture=0.0, focus_dist=7.0,
+                          time0=0.0, time1=1.0)
+        return objs, [cam], (0.02, 0.02, 0.03)
+
+    ref, ref_seg, got, seg, n = _compare(medium_scene, {}, width=24,
+                                         height=24, spp=4, depth=6, seed=23)
+    assert abs(int(seg.sum()) - ref_seg) <= max(4, n // 200)
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-3)
+    bad_lanes = np.unique(np.argwhere(rel > 0.05)[:, 0])
+    assert len(bad_lanes) <= max(4, n // 100)
+    assert np.abs(got - ref).mean() < 1e-3
+
+
 def _rect_room(aspect):
     """Cornell-style walls + light + two spheres: the fused rect workload."""
     from raytracer_weekend_tpu.camera import make_camera
