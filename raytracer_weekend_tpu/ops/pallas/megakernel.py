@@ -207,7 +207,7 @@ def _unit_vec(u1, u2):
 
 def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
             width: int, height: int, spp: int, max_depth: int,
-            t_min: float, tile_b: int, r_pad: int = 0,
+            t_min: float, tile_b: int, r_pad: int = 0, r_chunk: int = 0,
             has_sph: bool = True, has_planar: bool = False,
             n_vol: int = 0, ablate: str = ""):
     f = jnp.float32
@@ -369,38 +369,64 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
             if has_planar:
                 # Planar planes (rects + triangles): t = NUM/DF,
                 # u = U0 + t*U1, v = V0 + t*V1 (see table layout above).
+                # The primitive axis is processed in chunks of r_chunk so
+                # VMEM stays bounded for mesh-scale scenes (cow/suspension);
+                # chunk winners merge with an arithmetic (1, L) blend.
                 fd = jnp.concatenate([R(dx), R(dy), R(dz)], axis=0)
                 fo = jnp.concatenate([R(ox), R(oy), R(oz), R(one_f)], axis=0)
-                md = jax.lax.dot_general(tab_pd_ref[:, :], fd, dn,
-                                         preferred_element_type=f)
-                mo = jax.lax.dot_general(tab_po_ref[:, :], fo, dn,
-                                         preferred_element_type=f)
-                df = md[0:r_pad]
-                t_rp = mo[0:r_pad] / df                           # (R, L)
-                u = mo[r_pad:2 * r_pad] + t_rp * md[r_pad:2 * r_pad]
-                v = (mo[2 * r_pad:3 * r_pad]
-                     + t_rp * md[2 * r_pad:3 * r_pad])
-                flag = mo[3 * r_pad:]         # 1 = triangle bound, 0 = rect
-                # Padded slots give t = 0/0 = NaN; NaN comparisons are false.
-                ok = ((t_rp >= f(t_min)) & (u >= 0.0) & (v >= 0.0)
-                      & (v <= 1.0) & (u + flag * v <= 1.0))
-                tneg = jnp.where(ok, -t_rp, f(-_BIG))
-                trn = jnp.max(tneg, axis=0, keepdims=True)        # (1, L)
-                hit_row = trn > f(-1.0e37)
-                tr_rows.append(jnp.where(hit_row, -trn, f(_BIG)))
-                ohr = jnp.where((tneg == trn) & hit_row, f(1.0), f(0.0))
+                rc = r_chunk
+                best_trn = best_p = best_u = best_v = None
+                for cI in range(r_pad // rc):
+                    md = jax.lax.dot_general(
+                        tab_pd_ref[:, cI * 3 * rc:(cI + 1) * 3 * rc], fd,
+                        dn, preferred_element_type=f)
+                    mo = jax.lax.dot_general(
+                        tab_po_ref[:, cI * 4 * rc:(cI + 1) * 4 * rc], fo,
+                        dn, preferred_element_type=f)
+                    df = md[0:rc]
+                    t_rp = mo[0:rc] / df                          # (rc, L)
+                    u = mo[rc:2 * rc] + t_rp * md[rc:2 * rc]
+                    v = mo[2 * rc:3 * rc] + t_rp * md[2 * rc:3 * rc]
+                    flag = mo[3 * rc:]        # 1 = triangle bound, 0 = rect
+                    # Padded slots give t = 0/0 = NaN; NaN compares false.
+                    ok = ((t_rp >= f(t_min)) & (u >= 0.0) & (v >= 0.0)
+                          & (v <= 1.0) & (u + flag * v <= 1.0))
+                    tneg = jnp.where(ok, -t_rp, f(-_BIG))
+                    trn = jnp.max(tneg, axis=0, keepdims=True)    # (1, L)
+                    ohr = jnp.where((tneg == trn) & (trn > f(-1.0e37)),
+                                    f(1.0), f(0.0))
+                    if "nogather" not in ablate:
+                        p_c = jax.lax.dot_general(
+                            tab_pg_ref[:, cI * rc:(cI + 1) * rc], ohr, dng,
+                            preferred_element_type=f)             # (PG, L)
+                        # Winner's in-plane coordinates (normal/UV interp).
+                        # Sanitize through `ok` first: padded slots carry
+                        # u = NaN (0/0 t), and 0 * NaN = NaN would poison
+                        # the one-hot reduction.
+                        u_c = jnp.sum(ohr * jnp.where(ok, u, f(0.0)),
+                                      axis=0, keepdims=True)
+                        v_c = jnp.sum(ohr * jnp.where(ok, v, f(0.0)),
+                                      axis=0, keepdims=True)
+                    else:
+                        p_c = u_c = v_c = None
+                    if best_trn is None:
+                        best_trn, best_p = trn, p_c
+                        best_u, best_v = u_c, v_c
+                    else:
+                        if "nogather" not in ablate:
+                            # (1, L) blend broadcast along sublanes — the
+                            # same broadcast shape the sphere planes use.
+                            b = jnp.where(trn > best_trn, f(1.0), f(0.0))
+                            best_p = best_p + b * (p_c - best_p)
+                            best_u = best_u + b * (u_c - best_u)
+                            best_v = best_v + b * (v_c - best_v)
+                        best_trn = jnp.maximum(trn, best_trn)
+                hit_row = best_trn > f(-1.0e37)
+                tr_rows.append(jnp.where(hit_row, -best_trn, f(_BIG)))
                 if "nogather" not in ablate:
-                    paramr_rows.append(jax.lax.dot_general(
-                        tab_pg_ref[:, :], ohr, dng,
-                        preferred_element_type=f))                # (PG, L)
-                    # Winner's in-plane coordinates (normal/UV interp).
-                    # Sanitize through `ok` first: padded slots carry
-                    # u = NaN (0/0 t), and 0 * NaN = NaN would poison the
-                    # one-hot reduction.
-                    u_ok = jnp.where(ok, u, f(0.0))
-                    v_ok = jnp.where(ok, v, f(0.0))
-                    uw_rows.append(jnp.sum(ohr * u_ok, axis=0, keepdims=True))
-                    vw_rows.append(jnp.sum(ohr * v_ok, axis=0, keepdims=True))
+                    paramr_rows.append(best_p)
+                    uw_rows.append(best_u)
+                    vw_rows.append(best_v)
 
         def _stack(rows):
             return jnp.concatenate(rows, axis=0)                  # (8, L)
@@ -771,12 +797,15 @@ def _build_table(scene: SceneData, s_pad: int) -> Array:
 
 
 def _build_planar_tables(scene: SceneData, r_pad: int,
-                         with_rects: bool, with_tris: bool):
+                         with_rects: bool, with_tris: bool,
+                         r_chunk: int | None = None):
     """(tab_pd (3, 3*r_pad), tab_po (4, 4*r_pad), tab_pg (PG_ROWS, r_pad)).
 
     Unified rect + triangle coefficient tables (row-layout comment at the
     top). Column order: rects first, then triangles, then padding. Invalid/
-    padded slots carry all-zero coefficients so t = 0/0 = NaN.
+    padded slots carry all-zero coefficients so t = 0/0 = NaN. With
+    r_chunk < r_pad the [DF|U1|V1] / [NUM|U0|V0|FLAG] blocks are laid out
+    chunk-major so the kernel can slice one bounded chunk at a time.
     """
     mt = scene.materials
     tx = scene.textures
@@ -875,6 +904,18 @@ def _build_planar_tables(scene: SceneData, r_pad: int,
     tab_po = jnp.concatenate(
         [padc(num_c, 4), padc(u0_c, 4), padc(v0_c, 4), padc(fl_c, 4)], axis=1)
 
+    if r_chunk and r_chunk < r_pad:
+        # Block-major [N | UA | UB] -> chunk-major [N_c0 | UA_c0 | UB_c0 |
+        # N_c1 | ...] so the kernel slices per-chunk coefficient sets.
+        c = r_pad // r_chunk
+
+        def chunked(tab, blocks):
+            return (tab.reshape(tab.shape[0], blocks, c, r_chunk)
+                    .swapaxes(1, 2).reshape(tab.shape[0], blocks * r_pad))
+
+        tab_pd = chunked(tab_pd, 3)
+        tab_po = chunked(tab_po, 4)
+
     mat = cat(mat_rows)
     tid = mt.tex[mat]
     c1c = tx.color1[tid]
@@ -959,12 +1000,13 @@ def _tile_b(s_pad: int) -> int:
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_chunk", "interpret",
                                     "tile_override", "s_pad_override",
-                                    "ablate", "static"))
+                                    "r_chunk_override", "ablate", "static"))
 def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  lane_start, n_chunk: int, seed,
                  interpret: bool = False,
                  tile_override: int | None = None,
                  s_pad_override: int | None = None,
+                 r_chunk_override: int | None = None,
                  ablate: str = "",
                  static: SceneStatic | None = None) -> tuple[Array, Array]:
     """Render lanes [lane_start, lane_start + n_chunk) fully fused.
@@ -990,12 +1032,22 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     has_planar = with_rects or with_tris
     n_planar = (Rn if with_rects else 0) + (Tn if with_tris else 0)
     s_pad = s_pad_override or _round_up(max(S, 128), 128)
-    r_pad = _round_up(max(n_planar, 128), 128) if has_planar else 0
+    r_pad0 = _round_up(max(n_planar, 128), 128) if has_planar else 0
     # (8, L) state needs tile_b = 8*L with L a lane multiple: tile % 1024.
-    tile_b = _round_up(tile_override or _tile_b(max(s_pad, r_pad)), 1024)
+    # Chunking bounds the per-chunk plane height, so tile sizing sees the
+    # chunk, not the full primitive count.
+    tile_b = _round_up(tile_override
+                       or _tile_b(max(s_pad, min(r_pad0, 2048))), 1024)
     b_pad = _round_up(max(n_chunk, tile_b), tile_b)
     grid = (b_pad // tile_b,)
     n_tiles, lanes_l = grid[0], tile_b // 8
+    # Planar chunk: cap the (r_chunk, L) plane at ~1 MB (256k f32 lanes).
+    if has_planar:
+        r_chunk = r_chunk_override or max(
+            128, min(r_pad0, (262144 // lanes_l) // 128 * 128))
+        r_pad = _round_up(r_pad0, r_chunk)
+    else:
+        r_chunk = r_pad = 0
 
     tabs, tab_specs = [], []
     if has_sph:
@@ -1004,7 +1056,7 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
                                       memory_space=pltpu.VMEM))
     if has_planar:
         tab_pd, tab_po, tab_pg = _build_planar_tables(
-            scene, r_pad, with_rects, with_tris)
+            scene, r_pad, with_rects, with_tris, r_chunk)
         tabs += [tab_pd, tab_po, tab_pg]
         tab_specs += [
             pl.BlockSpec((3, 3 * r_pad), lambda i: (0, 0),
@@ -1043,7 +1095,7 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     kernel = functools.partial(
         _kernel, width=cfg.width, height=cfg.height,
         spp=cfg.samples_per_pixel, max_depth=cfg.max_depth,
-        t_min=cfg.t_min, tile_b=tile_b, r_pad=r_pad,
+        t_min=cfg.t_min, tile_b=tile_b, r_pad=r_pad, r_chunk=r_chunk,
         has_sph=has_sph, has_planar=has_planar, n_vol=n_vol, ablate=ablate)
 
     out_rad = pl.BlockSpec((24, lanes_l), lambda i: (0, i),

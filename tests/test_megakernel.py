@@ -138,6 +138,39 @@ def test_mesh_scene_matches_staged_path():
     assert np.abs(got - ref).mean() < 1e-3
 
 
+def test_chunked_planar_equals_unchunked():
+    """Prim-axis chunking (mesh-scale VMEM bound) must not change winners:
+    a 170-triangle scene at r_chunk=128 (2 chunks) vs one 256-chunk,
+    bit-identical."""
+    from raytracer_weekend_tpu.camera import make_camera
+    from raytracer_weekend_tpu.scene.builder import (
+        DiffuseLight, Lambertian, Triangle, XZRectangle)
+
+    rng = np.random.default_rng(5)
+    objs = [XZRectangle(-6, 6, -6, 6, -1.5, Lambertian((0.6, 0.6, 0.6))),
+            XZRectangle(-2, 2, -2, 2, 4.5, DiffuseLight((4, 4, 4)))]
+    m = Lambertian((0.7, 0.4, 0.3))
+    for _ in range(170):
+        v = rng.uniform(-2.5, 2.5, (3, 3))
+        objs.append(Triangle(tuple(tuple(float(c) for c in x) for x in v), m))
+    cam = make_camera(look_from=(0, 1, -8), look_at=(0, 0, 0),
+                      up_vector=(0, 1, 0), vertical_field_of_view=45.0,
+                      aspect_ratio=1.0, aperture=0.0, focus_dist=8.0,
+                      time0=0.0, time1=1.0)
+    cfg = RenderConfig(width=16, height=16, samples_per_pixel=2, max_depth=4,
+                       seed=7, use_pallas=False)
+    scene, static = B.build_scene(objs, background=(0.1, 0.1, 0.15))
+    n = cfg.n_rays
+    seed_u = jnp.uint32(cfg.seed)
+    whole, sw = render_fused(scene, cfg, cam, 0, n, seed_u,
+                             interpret=True, static=static)
+    chunked, sc = render_fused(scene, cfg, cam, 0, n, seed_u,
+                               interpret=True, static=static,
+                               r_chunk_override=128)
+    np.testing.assert_array_equal(np.asarray(whole), np.asarray(chunked))
+    np.testing.assert_array_equal(np.asarray(sw), np.asarray(sc))
+
+
 def test_smokey_cornell_matches_staged_path():
     """Constant-medium smoke cuboids (rotated box boundaries) + walls: the
     in-kernel volume candidates and isotropic scatter match the staged path
