@@ -143,13 +143,16 @@ def main() -> int:
         jax.block_until_ready(outs)
         return sum(int(segs) for _, segs in outs)
 
-    # Timed repeats.
+    # Timed repeats. Queue ALL repeats before the single sync: a per-frame
+    # block_until_ready pays one tunnel round-trip (~tens of ms) inside
+    # every timed frame, which measures link latency, not chip throughput.
     run_once()  # ensure all shapes compiled + caches hot
-    reps = 1 if cpu_fallback else 3
+    reps = 1 if cpu_fallback else 10
     t0 = time.time()
-    for _ in range(reps):
-        total_segments = run_once()
+    all_outs = [frame_outs() for _ in range(reps)]
+    jax.block_until_ready(all_outs)
     dt = (time.time() - t0) / reps
+    total_segments = sum(int(segs) for _, segs in all_outs[-1])
 
     primary = n_lanes
     rays_per_s = total_segments / dt

@@ -349,19 +349,22 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
                 # Scaled-root domain: root_k = -p_k / a with a > 0, so
                 # compares and the nearest-hit reduction run on p_k directly
                 # (no divides): root >= t_min <=> p <= -t_min*a; min_t <=>
-                # max_p.
-                p1 = sqrtd - m1              # ~ -a * root1  (near root)
-                p2 = -sqrtd - m1             # ~ -a * root2  (far root)
+                # max_p. Near root p1 = sqrtd - m1 is valid iff
+                # sqrtd <= m1 + nta; select on sqrtd before the shared -m1
+                # (one plane op fewer than forming both p1 and p2).
                 nta = R(neg_tmin_a)
-                sel = jnp.where(p1 <= nta, p1, p2)
+                ssel = jnp.where(sqrtd <= m1 + nta, sqrtd, -sqrtd)
+                sel = ssel - m1
                 tn_all = jnp.where(sel <= nta, sel, f(-_BIG))     # (S, L)
 
                 tn_s = jnp.max(tn_all, axis=0, keepdims=True)     # (1, L)
                 tn_rows.append(tn_s)
                 if "nogather" not in ablate:
-                    onehot = jnp.where(
-                        (tn_all == tn_s) & (tn_s > f(-1.0e37)),
-                        f(1.0), f(0.0))                            # (S, L)
+                    # No miss guard: on an all-miss lane tn_s == -BIG matches
+                    # every column and the gather sums the whole table —
+                    # finite garbage on a lane that `hit`/`alive` masks out.
+                    onehot = jnp.where(tn_all == tn_s,
+                                       f(1.0), f(0.0))             # (S, L)
                     param_rows.append(jax.lax.dot_general(
                         tab_ref[:, :], onehot, dng,
                         preferred_element_type=f))                 # (P, L)
@@ -393,6 +396,9 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
                           & (v <= 1.0) & (u + flag * v <= 1.0))
                     tneg = jnp.where(ok, -t_rp, f(-_BIG))
                     trn = jnp.max(tneg, axis=0, keepdims=True)    # (1, L)
+                    # Keep the miss guard here (unlike the sphere onehot):
+                    # the cross-chunk arithmetic blend below is only exact
+                    # when a lost/all-miss chunk contributes exact zeros.
                     ohr = jnp.where((tneg == trn) & (trn > f(-1.0e37)),
                                     f(1.0), f(0.0))
                     if "nogather" not in ablate:
