@@ -1047,10 +1047,16 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     b_pad = _round_up(max(n_chunk, tile_b), tile_b)
     grid = (b_pad // tile_b,)
     n_tiles, lanes_l = grid[0], tile_b // 8
-    # Planar chunk: cap the (r_chunk, L) plane at ~1 MB (256k f32 lanes).
+    # Planar chunk: bound the TOTAL live chunk-plane VMEM, not one plane.
+    # Per chunk iteration ~14 (r_chunk, L) f32 planes are live at once: the
+    # stacked matmul outputs (3rc, L) md + (4rc, L) mo plus t/u/v/flag/ok/
+    # tneg and the running best planes. Round 1 budgeted only (rc, L) and
+    # mesh scenes (cow 5.8k tris @ rc=2048, L=128 -> ~13 MB) failed to
+    # compile on the real TPU (BENCH_NOTES.md). 64k f32 lanes per plane
+    # keeps the set near ~3.5 MB.
     if has_planar:
         r_chunk = r_chunk_override or max(
-            128, min(r_pad0, (262144 // lanes_l) // 128 * 128))
+            128, min(r_pad0, (65536 // lanes_l) // 128 * 128))
         r_pad = _round_up(r_pad0, r_chunk)
     else:
         r_chunk = r_pad = 0
