@@ -85,6 +85,8 @@ _R_TTYPE = 21
 _R_C1R, _R_C1G, _R_C1B = 22, 23, 24
 _R_C2R, _R_C2G, _R_C2B = 25, 26, 27
 _R_TSCALE = 28
+_R_TEXID = 29                        # texture row id (deferred-texture decode)
+_R_IDX = 30                          # global sphere index (VJP path residuals)
 P_ROWS = 32  # padded to a sublane multiple
 
 # Planar-primitive tables: ONE family for axis-aligned rects
@@ -123,6 +125,8 @@ _RP_C2R, _RP_C2G, _RP_C2B = 16, 17, 18
 _RP_TSCALE = 19
 _RP_TU0, _RP_TUU, _RP_TUV = 20, 21, 22
 _RP_TV0, _RP_TVU, _RP_TVV = 23, 24, 25
+_RP_TEXID = 26                       # texture row id (deferred-texture decode)
+_RP_IDX = 27                         # global planar index (VJP path residuals)
 PG_ROWS = 32
 
 # Constant-medium volumes (volumes.rs:38-78) ride along as per-volume SMEM
@@ -209,9 +213,11 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
             width: int, height: int, spp: int, max_depth: int,
             t_min: float, tile_b: int, r_pad: int = 0, r_chunk: int = 0,
             has_sph: bool = True, has_planar: bool = False,
-            n_vol: int = 0, ablate: str = ""):
+            n_vol: int = 0, ablate: str = "",
+            defer_tex: bool = False, emit_paths: bool = False):
     f = jnp.float32
     L = tile_b // 8  # per-ray state is (8, L): full VPU sublane utilization
+    assert not (ablate and (defer_tex or emit_paths))
 
     i_ref = 0
     if has_sph:
@@ -224,6 +230,19 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
         vp_ref = refs[i_ref]
         i_ref += 1
     rad_ref, seg_ref = refs[i_ref], refs[i_ref + 1]
+    i_ref += 2
+    if defer_tex:
+        # Per-bounce radiance contributions (24 = rgb x 8 sublanes per depth)
+        # and deferred-texture records (32 = (a, b, c, code) x 8): noise and
+        # image texels are evaluated OUTSIDE the kernel (textures.py, exact
+        # staged-path semantics) and recombined as rad = sum_k c_k prod f_j.
+        ctb_ref, dfr_ref = refs[i_ref], refs[i_ref + 1]
+        i_ref += 2
+    if emit_paths:
+        # Per-bounce winner codes (fam + 4*idx; 0 = miss/dead) — the VJP
+        # residuals consumed by integrator.replay_rays.
+        pth_ref = refs[i_ref]
+        i_ref += 1
 
     def P(i):  # camera/background scalar
         return par_ref[0, i]
@@ -459,6 +478,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
             inv_a = 1.0 / a
             t_vol = one_f * f(_BIG)
             vcr, vcg, vcb = zero_f, zero_f, zero_f
+            v_id = zero_f
             for vI in range(n_vol):
                 def VP(ii, _v=vI):
                     return vp_ref[_v, ii]
@@ -520,6 +540,8 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
                 vcr = jnp.where(win, zero_f + VP(_VP_CR), vcr)
                 vcg = jnp.where(win, zero_f + VP(_VP_CG), vcg)
                 vcb = jnp.where(win, zero_f + VP(_VP_CB), vcb)
+                if emit_paths:
+                    v_id = jnp.where(win, zero_f + f(vI), v_id)
                 t_vol = jnp.minimum(t_v, t_vol)
 
         t_hit = jnp.minimum(t_s, t_r) if has_planar else t_s
@@ -558,11 +580,16 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
             def G2(rs, rr):
                 return G(rs)
 
-        # miss -> background, terminate (lib.rs:102-105)
+        # miss -> background, terminate (lib.rs:102-105). In defer mode the
+        # contribution goes to this bounce's ctb slot instead of rr_.
         missf = jnp.where(alive & ~hit, f(1.0), f(0.0))
-        rr_ = rr_ + missf * tpr * bg_r
-        rg_ = rg_ + missf * tpg * bg_g
-        rb_ = rb_ + missf * tpb * bg_b
+        mc_r = missf * tpr * bg_r
+        mc_g = missf * tpg * bg_g
+        mc_b = missf * tpb * bg_b
+        if not defer_tex:
+            rr_ = rr_ + mc_r
+            rg_ = rg_ + mc_g
+            rb_ = rb_ + mc_b
         alive = alive & hit
 
         # -- hit record (ops.sphere.sphere_record / ops.rect.rect_record) ----
@@ -579,6 +606,10 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
             nz = (pz - cz) * inv_r
             d_dot_n = dx * nx + dy * ny + dz * nz
             front = d_dot_n < 0.0
+            if defer_tex:
+                # Pre-flip outward normal: the deferred image fetch derives
+                # the sphere UV from it outside the kernel (spherical.rs:62-77).
+                snx, sny, snz = nx, ny, nz
             sgn = jnp.where(front, f(1.0), f(-1.0))
             nx, ny, nz = nx * sgn, ny * sgn, nz * sgn  # front-face flip
         if has_planar:
@@ -619,6 +650,40 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
             tex_r = jnp.where(uvdbg, tex_u, tex_r)
             tex_g = jnp.where(uvdbg, tex_v, tex_g)
             tex_b = jnp.where(uvdbg, tex_b * 0.0, tex_b)
+
+        if defer_tex:
+            # Noise/image texels become 1.0 here; the record (a, b, c, code)
+            # lets the host evaluate the true texel (textures.texture_value)
+            # and fold it back in. abc = hit point for noise, outward normal
+            # for sphere-image (-> spherical UV), (u, v, 0) for planar-image;
+            # code = +-(texid + 1), negative for planar, 0 for none.
+            is_nse = ttype == 2.0
+            is_dfr = (is_nse | (ttype == 3.0)) & alive
+            if n_vol:
+                is_dfr = is_dfr & ~vol_w
+            texid = G2(_R_TEXID, _RP_TEXID)
+            if has_sph and has_planar:
+                ia = jnp.where(rect_w, u_w, snx)
+                ib = jnp.where(rect_w, v_w, sny)
+                ic = jnp.where(rect_w, zero_f, snz)
+                sgn_d = jnp.where(rect_w, f(-1.0), f(1.0))
+            elif has_planar:
+                ia, ib, ic = u_w, v_w, zero_f
+                sgn_d = -one_f
+            else:
+                ia, ib, ic = snx, sny, snz
+                sgn_d = one_f
+            da = jnp.where(is_nse, px, ia)
+            db = jnp.where(is_nse, py, ib)
+            dc_ = jnp.where(is_nse, pz, ic)
+            dfrf = jnp.where(is_dfr, one_f, zero_f)
+            dfr_ref[pl.ds(i * 32, 8), :] = da
+            dfr_ref[pl.ds(i * 32 + 8, 8), :] = db
+            dfr_ref[pl.ds(i * 32 + 16, 8), :] = dc_
+            dfr_ref[pl.ds(i * 32 + 24, 8), :] = dfrf * (texid + 1.0) * sgn_d
+            tex_r = jnp.where(is_dfr, one_f, tex_r)
+            tex_g = jnp.where(is_dfr, one_f, tex_g)
+            tex_b = jnp.where(is_dfr, one_f, tex_b)
 
         # -- scatter union (materials.scatter) ------------------------------
         mtype = G2(_R_MTYPE, _RP_MTYPE)
@@ -716,9 +781,33 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
         att_b = jnp.where(is_die, 1.0, jnp.where(is_light, 0.0, tex_b))
 
         lightf = jnp.where(alive & is_light, f(1.0), f(0.0))
-        rr_ = rr_ + lightf * tpr * tex_r   # emitted (light_source.rs:22-24)
-        rg_ = rg_ + lightf * tpg * tex_g
-        rb_ = rb_ + lightf * tpb * tex_b
+        lc_r = lightf * tpr * tex_r        # emitted (light_source.rs:22-24)
+        lc_g = lightf * tpg * tex_g
+        lc_b = lightf * tpb * tex_b
+        if defer_tex:
+            # All radiance is emitted via per-bounce slots; the host applies
+            # the deferred texel products (inclusive at the emitting bounce,
+            # so image-emission lights get their texel too).
+            ctb_ref[pl.ds(i * 24, 8), :] = mc_r + lc_r
+            ctb_ref[pl.ds(i * 24 + 8, 8), :] = mc_g + lc_g
+            ctb_ref[pl.ds(i * 24 + 16, 8), :] = mc_b + lc_b
+        else:
+            rr_ = rr_ + lc_r
+            rg_ = rg_ + lc_g
+            rb_ = rb_ + lc_b
+        if emit_paths:
+            # Winner code for the VJP replay: fam (1 sphere / 2 planar /
+            # 3 volume) + 4 * global index; 0 = miss or dead lane. Exact-tie
+            # winners sum indices in the one-hot gather (measure zero).
+            pcode = zero_f
+            if has_sph:
+                pcode = f(1.0) + 4.0 * G(_R_IDX)
+            if has_planar:
+                pp = f(2.0) + 4.0 * Gr(_RP_IDX)
+                pcode = jnp.where(rect_w, pp, pcode) if has_sph else pp
+            if n_vol:
+                pcode = jnp.where(vol_w, f(3.0) + 4.0 * v_id, pcode)
+            pth_ref[pl.ds(i * 8, 8), :] = jnp.where(alive, pcode, zero_f)
         tpr = jnp.where(alive, tpr * att_r, tpr)
         tpg = jnp.where(alive, tpg * att_g, tpg)
         tpb = jnp.where(alive, tpb * att_b, tpb)
@@ -734,6 +823,14 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
         dz = jnp.where(alive, ndz, dz)
         return (i + 1, ox, oy, oz, dx, dy, dz, tpr, tpg, tpb,
                 rr_, rg_, rb_, jnp.where(alive, f(1.0), f(0.0)), seg)
+
+    # The depth loop exits early once the whole tile is dead; per-depth aux
+    # planes for the remaining depths must read as zero contributions.
+    if defer_tex:
+        ctb_ref[:, :] = jnp.zeros(ctb_ref.shape, f)
+        dfr_ref[:, :] = jnp.zeros(dfr_ref.shape, f)
+    if emit_paths:
+        pth_ref[:, :] = jnp.zeros(pth_ref.shape, f)
 
     st = jax.lax.while_loop(cond, body, bounce_state())
     (_, _, _, _, _, _, _, _, _, _, rr_, rg_, rb_, _, seg) = st
@@ -789,8 +886,10 @@ def _build_table(scene: SceneData, s_pad: int) -> Array:
         c1c[:, 0], c1c[:, 1], c1c[:, 2],
         c2c[:, 0], c2c[:, 1], c2c[:, 2],
         tx.scale[tid],
+        tid.astype(jnp.float32),
+        jnp.arange(S, dtype=jnp.float32),
     ]
-    tab = jnp.stack(rows, axis=0).astype(jnp.float32)     # (29, S)
+    tab = jnp.stack(rows, axis=0).astype(jnp.float32)     # (31, S)
     # Padded columns: zero coefficients except k0, which must stay "invalid".
     tab = jnp.pad(tab, ((0, P_ROWS - tab.shape[0]), (0, 0)))
     if s_pad > S:
@@ -942,6 +1041,8 @@ def _build_planar_tables(scene: SceneData, r_pad: int,
         tx.scale[tid],
         tu[:, 0], tu[:, 1], tu[:, 2],
         tv[:, 0], tv[:, 1], tv[:, 2],
+        tid.astype(jnp.float32),
+        jnp.arange(R, dtype=jnp.float32),
     ]
     tab_pg = jnp.stack(rows, axis=0).astype(jnp.float32)
     tab_pg = jnp.pad(tab_pg, ((0, PG_ROWS - tab_pg.shape[0]),
@@ -989,6 +1090,36 @@ def _pack_par(scene: SceneData, cam: Camera) -> Array:
     return jnp.concatenate(parts).astype(jnp.float32).reshape(1, 24)
 
 
+def _combine_deferred(scene: SceneData, ctb: Array, dfr: Array,
+                      *, has_noise: bool, has_image: bool) -> Array:
+    """rad = sum_k c_k * prod_{j<=k} f_j  over deferred noise/image texels.
+
+    The kernel shaded deferred texels as 1.0 and recorded (a, b, c, code)
+    per bounce; the true texel is evaluated here with the staged path's own
+    texture code (textures.texture_value — exact parity, including the
+    nearest-fetch of image_texture.rs:34-52 and the Perlin marble of
+    texture.rs:90-94). The factor product is inclusive at the emitting
+    bounce, so image-emission lights (scenes.rs:292-294) apply their texel
+    to their own emission; attenuation factors multiply every later bounce.
+    """
+    from raytracer_weekend_tpu import textures as tex_mod
+    from raytracer_weekend_tpu.ops.sphere import sphere_uv
+
+    code = jnp.round(dfr[..., 3]).astype(jnp.int32)        # (B, D)
+    absid = jnp.abs(code)
+    texid = jnp.maximum(absid - 1, 0)
+    abc = dfr[..., 0:3]
+    is_img = scene.textures.ttype[texid] == tex_mod.IMAGE
+    u_s, v_s = sphere_uv(abc)                    # sphere-image: abc = outward
+    sphere_img = is_img & (code > 0)
+    u = jnp.where(sphere_img, u_s, dfr[..., 0])  # planar-image: abc = (u,v,0)
+    v = jnp.where(sphere_img, v_s, dfr[..., 1])
+    f_rgb = tex_mod.texture_value(scene.textures, texid, u, v, abc,
+                                  has_noise=has_noise, has_image=has_image)
+    f_rgb = jnp.where((absid > 0)[..., None], f_rgb, 1.0)
+    return jnp.sum(ctb * jnp.cumprod(f_rgb, axis=1), axis=1)
+
+
 def _tile_b(s_pad: int) -> int:
     """Ray-tile size for the (s_pad, TILE_B) intersection planes.
 
@@ -1006,7 +1137,8 @@ def _tile_b(s_pad: int) -> int:
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_chunk", "interpret",
                                     "tile_override", "s_pad_override",
-                                    "r_chunk_override", "ablate", "static"))
+                                    "r_chunk_override", "ablate", "static",
+                                    "defer_tex", "emit_paths"))
 def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  lane_start, n_chunk: int, seed,
                  interpret: bool = False,
@@ -1014,12 +1146,21 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  s_pad_override: int | None = None,
                  r_chunk_override: int | None = None,
                  ablate: str = "",
-                 static: SceneStatic | None = None) -> tuple[Array, Array]:
+                 static: SceneStatic | None = None,
+                 defer_tex: bool | None = None,
+                 emit_paths: bool = False):
     """Render lanes [lane_start, lane_start + n_chunk) fully fused.
 
     Returns (radiance (n_chunk, 3) f32, segments (n_chunk,) int32) — per-lane
     radiance estimates (lane = pixel * spp + sample) and traced-segment
     counts. Caller accumulates lanes into the film.
+
+    defer_tex (default: derived from static.has_noise/has_image) runs the
+    kernel in deferred-texture mode: noise/image texels are applied outside
+    the kernel with the staged path's exact texture code. With
+    emit_paths=True additionally returns per-bounce winner codes
+    (n_chunk, max_depth) f32 — the residuals for integrator.replay_rays'
+    custom-VJP backward.
     """
     # Family presence: SceneStatic when given (builder pads empty families
     # with one invalid dummy row, so shapes alone can't prove absence).
@@ -1037,6 +1178,9 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         n_vol = Vn
     has_planar = with_rects or with_tris
     n_planar = (Rn if with_rects else 0) + (Tn if with_tris else 0)
+    if defer_tex is None:
+        defer_tex = bool(static is not None
+                         and (static.has_noise or static.has_image))
     s_pad = s_pad_override or _round_up(max(S, 128), 128)
     r_pad0 = _round_up(max(n_planar, 128), 128) if has_planar else 0
     # (8, L) state needs tile_b = 8*L with L a lane multiple: tile % 1024.
@@ -1044,6 +1188,12 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     # chunk, not the full primitive count.
     tile_b = _round_up(tile_override
                        or _tile_b(max(s_pad, min(r_pad0, 2048))), 1024)
+    # Aux output blocks are (rows_per_depth * max_depth, L): bound their
+    # VMEM share at ~4 MB by shrinking the ray tile for deep renders.
+    aux_rows = (56 if defer_tex else 0) + (8 if emit_paths else 0)
+    while (aux_rows and tile_b > 1024
+           and aux_rows * cfg.max_depth * (tile_b // 8) * 4 > 4 * 2**20):
+        tile_b -= 1024
     b_pad = _round_up(max(n_chunk, tile_b), tile_b)
     grid = (b_pad // tile_b,)
     n_tiles, lanes_l = grid[0], tile_b // 8
@@ -1108,14 +1258,33 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         _kernel, width=cfg.width, height=cfg.height,
         spp=cfg.samples_per_pixel, max_depth=cfg.max_depth,
         t_min=cfg.t_min, tile_b=tile_b, r_pad=r_pad, r_chunk=r_chunk,
-        has_sph=has_sph, has_planar=has_planar, n_vol=n_vol, ablate=ablate)
+        has_sph=has_sph, has_planar=has_planar, n_vol=n_vol, ablate=ablate,
+        defer_tex=defer_tex, emit_paths=emit_paths)
 
-    out_rad = pl.BlockSpec((24, lanes_l), lambda i: (0, i),
-                           memory_space=pltpu.VMEM)
-    out_seg = pl.BlockSpec((8, lanes_l), lambda i: (0, i),
-                           memory_space=pltpu.VMEM)
+    D = cfg.max_depth
+    out_specs = [
+        pl.BlockSpec((24, lanes_l), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, lanes_l), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((24, n_tiles * lanes_l), jnp.float32),
+        jax.ShapeDtypeStruct((8, n_tiles * lanes_l), jnp.float32),
+    ]
+    if defer_tex:
+        for rows in (24 * D, 32 * D):
+            out_specs.append(pl.BlockSpec((rows, lanes_l), lambda i: (0, i),
+                                          memory_space=pltpu.VMEM))
+            out_shapes.append(
+                jax.ShapeDtypeStruct((rows, n_tiles * lanes_l), jnp.float32))
+    if emit_paths:
+        out_specs.append(pl.BlockSpec((8 * D, lanes_l), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((8 * D, n_tiles * lanes_l), jnp.float32))
 
-    rad, seg = pl.pallas_call(
+    rad, seg, *aux = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -1125,11 +1294,8 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
                          memory_space=pltpu.VMEM),
             *tab_specs,
         ],
-        out_specs=[out_rad, out_seg],
-        out_shape=[
-            jax.ShapeDtypeStruct((24, n_tiles * lanes_l), jnp.float32),
-            jax.ShapeDtypeStruct((8, n_tiles * lanes_l), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
         cost_estimate=pl.CostEstimate(
             flops=cfg.max_depth * b_pad * (s_pad + r_pad) * 40,
             bytes_accessed=(4 * b_pad * 4) + P_ROWS * s_pad * 4,
@@ -1138,11 +1304,26 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         interpret=interpret,
     )(par, ipar, colrow, *tabs)
 
-    # Undo the (8, L) tile layout: (24, G*L) -> (b_pad, 3), (8, G*L) -> (b_pad,)
-    rad = rad.reshape(3, 8, n_tiles, lanes_l).transpose(2, 1, 3, 0).reshape(
-        b_pad, 3)
-    seg = seg.reshape(8, n_tiles, lanes_l).transpose(1, 0, 2).reshape(b_pad)
-    return rad[:n_chunk], seg[:n_chunk].astype(jnp.int32)
+    # Undo the (8, L) tile layout: ray r of tile i lives at (sublane r // L,
+    # lane r % L), so (rows, G*L) planes unscramble as (tile, sublane, lane).
+    def _unlane(x, *chans):  # (prod(chans)*8, G*L) -> (b_pad, *chans)
+        x = x.reshape(*chans, 8, n_tiles, lanes_l)
+        perm = (len(chans) + 1, len(chans), len(chans) + 2,
+                *range(len(chans)))
+        return x.transpose(*perm).reshape(b_pad, *chans)
+
+    rad = _unlane(rad, 3)
+    seg = _unlane(seg).astype(jnp.int32)
+    if defer_tex:
+        ctb = _unlane(aux[0], D, 3)
+        dfr = _unlane(aux[1], D, 4)
+        rad = _combine_deferred(scene, ctb, dfr,
+                                has_noise=static.has_noise if static else True,
+                                has_image=static.has_image if static else True)
+    if emit_paths:
+        codes = _unlane(aux[-1], D)
+        return rad[:n_chunk], seg[:n_chunk], codes[:n_chunk]
+    return rad[:n_chunk], seg[:n_chunk]
 
 
 def fused_supported(static: SceneStatic, cfg: RenderConfig) -> bool:

@@ -494,11 +494,12 @@ class _Compiler:
             sphere_bvh=sphere_bvh, triangle_bvh=triangle_bvh,
         )
         # Fused-megakernel eligibility: sphere/rect/triangle scene whose
-        # materials are Lambertian/Metal/Dielectric/DiffuseLight over
-        # solid/checker textures; planar primitives may additionally use
-        # UVDebug since the kernel interpolates their UVs; constant-medium
-        # volumes qualify when their isotropic phase texture is a solid
-        # color (every reference scene's are) (ops.pallas.megakernel scope).
+        # materials are Lambertian/Metal/Dielectric/DiffuseLight. Solid,
+        # checker, and (planar-only) UVDebug textures evaluate in-kernel;
+        # noise and image textures run in the kernel's deferred-texture mode
+        # (texels folded in outside, ops.pallas.megakernel._combine_deferred).
+        # Constant-medium volumes qualify when their isotropic phase texture
+        # is a solid color (every reference scene's are).
         fused_simple = False
         if n_spheres or n_rects or n_tris:
             def _used(mat, valid):
@@ -510,12 +511,12 @@ class _Compiler:
             if n_spheres:
                 mtypes, ttypes = _used(spheres.mat, spheres.valid)
                 ok &= bool(np.all(np.isin(mtypes, (0, 1, 2, 3)))
-                           and np.all(np.isin(ttypes, (0, 1))))
+                           and np.all(np.isin(ttypes, (0, 1, 2, 3))))
             for present, fam in ((n_rects, rects), (n_tris, tris)):
                 if present:
                     mtypes, ttypes = _used(fam.mat, fam.valid)
                     ok &= bool(np.all(np.isin(mtypes, (0, 1, 2, 3)))
-                               and np.all(np.isin(ttypes, (0, 1, 4))))
+                               and np.all(np.isin(ttypes, (0, 1, 2, 3, 4))))
             if n_vols:
                 mtypes, ttypes = _used(vols.mat, vols.valid)
                 ok &= bool(np.all(mtypes == 4) and np.all(ttypes == 0))
