@@ -1,0 +1,101 @@
+"""Differentiable fused rendering: megakernel forward, replay backward.
+
+The fused megakernel (ops.pallas.megakernel) is a Pallas kernel with no
+autodiff rule, and the staged wavefront it replaces is ~30x slower — so the
+headline differentiable-render path pairs them asymmetrically:
+
+  forward   — the fused kernel, additionally emitting per-bounce winner
+              codes (fam + 4*idx, one f32 plane per depth): the complete
+              discrete structure of every path.
+  backward  — integrator.replay_rays: re-trace the SAVED paths with the
+              staged path's own differentiable code, winner lookups replacing
+              the O(S) closest-hit search. jax.vjp of the replay is the
+              kernel's VJP.
+
+This matches the staged gradient semantics exactly: discrete choices
+(winners, hit/miss, reflect/refract branches) are held fixed while the
+continuous factors — intersection t, normals, textures (incl. Perlin and
+image texels), scatter math — differentiate. Gradients flow to sphere
+centers/radii, triangle vertices, material fuzz/IOR, texture colors and
+texels, and the camera. Cost: the O(S·B·depth) search runs once (fused);
+the backward is O(B·depth) plus its transpose.
+
+Ref anchors: lib.rs:97-117 (the estimator being differentiated),
+BASELINE.md fwd+bwd target.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+import numpy as np
+from jax import Array
+
+from raytracer_weekend_tpu.camera import Camera
+from raytracer_weekend_tpu.config import RenderConfig
+from raytracer_weekend_tpu.integrator import _pixel_rays, replay_rays
+from raytracer_weekend_tpu.scene.data import SceneData, SceneStatic
+
+
+def _float0_like(x):
+    return np.zeros(jnp.shape(x), dtype=jax.dtypes.float0)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_diff(static: SceneStatic, cfg: RenderConfig, n_chunk: int,
+               interpret: bool):
+    from raytracer_weekend_tpu.ops.pallas.megakernel import render_fused
+
+    @jax.custom_vjp
+    def fused(scene, cam, lane_start, seed):
+        rad, _ = render_fused(scene, cfg, cam, lane_start, n_chunk, seed,
+                              interpret=interpret, static=static)
+        return rad
+
+    def fwd(scene, cam, lane_start, seed):
+        rad, _, codes = render_fused(scene, cfg, cam, lane_start, n_chunk,
+                                     seed, interpret=interpret, static=static,
+                                     emit_paths=True)
+        return rad, (scene, cam, lane_start, seed, codes)
+
+    def bwd(res, g):
+        scene, cam, lane_start, seed, codes = res
+        # jax.vjp rejects integer inputs: differentiate w.r.t. the float
+        # leaves only; int/bool leaves (ids, valid masks) get float0.
+        leaves, treedef = jtu.tree_flatten(scene)
+        mask = [jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)
+                for l in leaves]
+        float_leaves = [l for l, m in zip(leaves, mask) if m]
+
+        def replay_f(float_leaves, cam):
+            it = iter(float_leaves)
+            full = [next(it) if m else l for l, m in zip(leaves, mask)]
+            sc = jtu.tree_unflatten(treedef, full)
+            ids = lane_start + jnp.arange(n_chunk, dtype=jnp.int32)
+            o, d, time, ray_id = _pixel_rays(cam, cfg, ids, seed)
+            return replay_rays(sc, static, cfg, o, d, time, ray_id, seed,
+                               codes)
+
+        _, vjp = jax.vjp(replay_f, float_leaves, cam)
+        g_float, g_cam = vjp(g)
+        it = iter(g_float)
+        g_leaves = [next(it) if m else _float0_like(l)
+                    for l, m in zip(leaves, mask)]
+        return (jtu.tree_unflatten(treedef, g_leaves), g_cam,
+                _float0_like(lane_start), _float0_like(seed))
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def render_fused_diff(scene: SceneData, static: SceneStatic,
+                      cfg: RenderConfig, cam: Camera, lane_start,
+                      n_chunk: int, seed,
+                      interpret: bool = False) -> Array:
+    """Per-lane radiance (n_chunk, 3) with gradients w.r.t. scene + camera."""
+    fn = _make_diff(static, cfg, int(n_chunk), bool(interpret))
+    return fn(scene, cam, jnp.asarray(lane_start, jnp.int32),
+              jnp.asarray(seed, jnp.uint32))

@@ -81,10 +81,14 @@ def _boundary_interval(vol: Volumes, o_obj: Array, d_obj: Array):
     return enter, exit_, ok
 
 
-def hit_volumes(vol: Volumes, o: Array, d: Array, t_min: float,
-                seed, ray_id: Array, depth,
-                *, use_log10: bool = True) -> tuple[Array, Array]:
-    """Sample per-ray medium scatter candidates -> (t (B,), idx (B,))."""
+def volume_candidates(vol: Volumes, o: Array, d: Array, t_min: float,
+                      seed, ray_id: Array, depth,
+                      *, use_log10: bool = True) -> Array:
+    """Per-(ray, volume) scatter-distance candidates -> (B, V) t, +inf none.
+
+    The full candidate plane also serves the replay-based VJP, which needs
+    the candidate of a KNOWN winner volume rather than the min.
+    """
     o_obj, d_obj = _object_space_rays(vol, o, d)
     enter, exit_, ok = _boundary_interval(vol, o_obj, d_obj)
 
@@ -104,8 +108,15 @@ def hit_volumes(vol: Volumes, o: Array, d: Array, t_min: float,
     hit_distance = vol.neg_inv_density[None, :] * log_u
 
     hit = ok & (hit_distance <= dist_inside)
-    t = jnp.where(hit, t1c + hit_distance / ray_len, _INF)
+    return jnp.where(hit, t1c + hit_distance / ray_len, _INF)
 
+
+def hit_volumes(vol: Volumes, o: Array, d: Array, t_min: float,
+                seed, ray_id: Array, depth,
+                *, use_log10: bool = True) -> tuple[Array, Array]:
+    """Sample per-ray medium scatter candidates -> (t (B,), idx (B,))."""
+    t = volume_candidates(vol, o, d, t_min, seed, ray_id, depth,
+                          use_log10=use_log10)
     idx = jnp.argmin(t, axis=-1)
     return jnp.min(t, axis=-1), idx
 

@@ -104,10 +104,14 @@ def _scene_specs(rmesh: RenderMesh, scene: SceneData):
 
 def render_sharded(scene: SceneData, static: SceneStatic, cfg: RenderConfig,
                    cam: Camera, rmesh: RenderMesh,
-                   seed: Optional[int] = None) -> Array:
+                   seed: Optional[int] = None, diff: bool = False) -> Array:
     """Full-frame sharded render -> (H, W, 3) color sums over spp.
 
-    Bit-identical to integrator.render_image for any mesh shape.
+    Bit-identical to integrator.render_image for any mesh shape. When the
+    scene qualifies for the fused megakernel and only the ray axis is
+    sharded, each shard runs the fused kernel over its contiguous lane
+    block; with diff=True the replay-VJP variant (fused_diff) is used so
+    gradients flow at fused speed.
     """
     mesh = rmesh.mesh
     seed_v = jnp.uint32(cfg.seed if seed is None else seed)
@@ -126,6 +130,13 @@ def render_sharded(scene: SceneData, static: SceneStatic, cfg: RenderConfig,
     scene_spec = _scene_specs(rmesh, scene_padded)
     cam_spec = type(cam)(*[P() for _ in cam._fields])
 
+    # Fused dispatch needs each shard's lanes to be one contiguous
+    # pixel*spp+sample block: ray-axis sharding only.
+    from raytracer_weekend_tpu.integrator import fused_eligible
+    use_fused = (fused_eligible(static, cfg)
+                 and rmesh.n_geom == 1 and rmesh.n_spp == 1)
+    interp = jax.default_backend() == "cpu"
+
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(scene_spec, cam_spec, P(rmesh.ray_axis), P(rmesh.spp_axis)),
@@ -138,17 +149,31 @@ def render_sharded(scene: SceneData, static: SceneStatic, cfg: RenderConfig,
         pix = jnp.repeat(pix_local, Sl)
         smp = jnp.tile(sample_local, Pl)
         lane_valid = (pix < n_pix) & (smp < spp)
-        ray_id = (pix * spp + jnp.minimum(smp, spp - 1)).astype(jnp.uint32)
 
-        col = (pix % cfg.width).astype(jnp.float32)
-        row = (cfg.height - 1 - pix // cfg.width).astype(jnp.float32)
-        uj = rt_rng.rand4(seed_v, ray_id, 0, rt_rng.SALT_PIXEL_JITTER)
-        u = (col + uj[..., 0]) / (cfg.width - 1)
-        v = (row + uj[..., 1]) / (cfg.height - 1)
-        o, d, time = get_rays(cam, u, v, seed_v, ray_id)
+        if use_fused:
+            lane_start = pix_local[0] * spp
+            if diff:
+                from raytracer_weekend_tpu.fused_diff import render_fused_diff
+                colors = render_fused_diff(scene, static, cfg, cam,
+                                           lane_start, Pl * Sl, seed_v,
+                                           interpret=interp)
+            else:
+                from raytracer_weekend_tpu.ops.pallas.megakernel import (
+                    render_fused)
+                colors, _ = render_fused(scene, cfg, cam, lane_start, Pl * Sl,
+                                         seed_v, interpret=interp,
+                                         static=static)
+        else:
+            ray_id = (pix * spp + jnp.minimum(smp, spp - 1)).astype(jnp.uint32)
+            col = (pix % cfg.width).astype(jnp.float32)
+            row = (cfg.height - 1 - pix // cfg.width).astype(jnp.float32)
+            uj = rt_rng.rand4(seed_v, ray_id, 0, rt_rng.SALT_PIXEL_JITTER)
+            u = (col + uj[..., 0]) / (cfg.width - 1)
+            v = (row + uj[..., 1]) / (cfg.height - 1)
+            o, d, time = get_rays(cam, u, v, seed_v, ray_id)
+            colors = trace_rays(scene, static, cfg, o, d, time, ray_id,
+                                seed_v, geom_axis=geom)
 
-        colors = trace_rays(scene, static, cfg, o, d, time, ray_id, seed_v,
-                            geom_axis=geom)
         colors = jnp.where(lane_valid[:, None], colors, 0.0)
         sums = colors.reshape(Pl, Sl, 3).sum(axis=1)
         # Reduce the sample shards; geom shards hold identical sums (records
@@ -176,7 +201,7 @@ def train_step(scene: SceneData, static: SceneStatic, cfg: RenderConfig,
     """
 
     def loss_fn(scene):
-        sums = render_sharded(scene, static, cfg, cam, rmesh)
+        sums = render_sharded(scene, static, cfg, cam, rmesh, diff=True)
         mean_img = sums / cfg.samples_per_pixel
         return jnp.mean((mean_img - target) ** 2)
 
