@@ -64,7 +64,9 @@ def main() -> int:
         except subprocess.TimeoutExpired:
             return False
 
-    cpu_fallback = not _backend_alive()
+    import os
+    cpu_fallback = (os.environ.get("RTW_BENCH_FORCE_CPU") == "1"
+                    or not _backend_alive())
     if cpu_fallback:
         print("# TPU backend unresponsive; falling back to CPU at reduced "
               "size (liveness signal only)", file=sys.stderr)
@@ -154,6 +156,46 @@ def main() -> int:
     dt = (time.time() - t0) / reps
     total_segments = sum(int(segs) for _, segs in all_outs[-1])
 
+    # Forward+backward: grad of a scalar loss through the differentiable
+    # render — the fused custom VJP (megakernel forward + replay backward,
+    # fused_diff.py) when eligible, else the staged path's jax.grad. Counts
+    # the same traced segments (identical paths/seed) per fwd+bwd second.
+    interp = jax.default_backend() == "cpu"
+    dbatch = min(1 << 15 if cpu_fallback else 1 << 18, n_lanes)
+    dstarts = list(range(0, n_lanes - dbatch + 1, dbatch))
+
+    if use_fused:
+        from raytracer_weekend_tpu.fused_diff import render_fused_diff
+
+        @jax.jit
+        def diff_chunk(scene, cam, start, seed):
+            def loss(scene):
+                return render_fused_diff(scene, static, cfg, cam, start,
+                                         dbatch, seed,
+                                         interpret=interp).sum()
+            return jax.grad(loss, allow_int=True)(scene)
+    else:
+        @jax.jit
+        def diff_chunk(scene, cam, start, seed):
+            def loss(scene):
+                ids = start + jnp.arange(dbatch, dtype=jnp.int32)
+                o, d, t, ray_id = integrator._pixel_rays(cam, cfg, ids, seed)
+                return integrator.trace_rays(scene, static, cfg, o, d, t,
+                                             ray_id, seed).sum()
+            return jax.grad(loss, allow_int=True)(scene)
+
+    g0 = diff_chunk(scene, cam, jnp.int32(0), seed)
+    jax.block_until_ready(g0)
+    reps_d = 1 if cpu_fallback else 3
+    t0 = time.time()
+    gs = [diff_chunk(scene, cam, jnp.int32(s), seed)
+          for _ in range(reps_d) for s in dstarts]
+    jax.block_until_ready(gs)
+    dt_d = (time.time() - t0) / reps_d
+    # Same frame, same seed => same paths; scale segments to covered lanes.
+    seg_d = total_segments * (len(dstarts) * dbatch) / n_lanes
+    rays_per_s_fwdbwd = seg_d / dt_d
+
     primary = n_lanes
     rays_per_s = total_segments / dt
     result = {
@@ -164,6 +206,8 @@ def main() -> int:
         "primary_rays_per_s": round(primary / dt, 1),
         "segments_per_frame": total_segments,
         "frame_s": round(dt, 4),
+        "rays_per_s_fwdbwd": round(rays_per_s_fwdbwd, 1),
+        "fwdbwd_fused": bool(use_fused),
         "config": cfg_name,
         "device": str(dev) + (" (fallback)" if cpu_fallback else ""),
     }

@@ -1328,8 +1328,11 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
 
 def fused_supported(static: SceneStatic, cfg: RenderConfig) -> bool:
     """The fused megakernel handles this (scene, config)."""
+    # Planar cap: tables are VMEM-resident at (3,3r)+(4,4r)+(32,r) f32 =
+    # 57 bytes/prim -> 24576 prims ~ 1.4 MB + chunk planes (~3.5 MB budget,
+    # render_fused) + ray state; suspension (17,190 tris) verified on-chip.
     return (static.fused_simple
             and static.n_spheres <= 8192
-            and static.n_rects + static.n_triangles <= 16384
+            and static.n_rects + static.n_triangles <= 24576
             and static.n_volumes <= 8      # unrolled in-kernel
             and cfg.width > 1 and cfg.height > 1)

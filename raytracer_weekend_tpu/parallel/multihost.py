@@ -70,13 +70,16 @@ def render_multihost(scene, static, cfg, cam,
     identical on every host (and to the single-device render)."""
     from jax.experimental import multihost_utils
 
+    from raytracer_weekend_tpu.parallel import shard as shard_mod
+
     rmesh = rmesh or global_render_mesh()
     mesh = rmesh.mesh
 
-    scene_g = _replicate(scene, mesh)
+    scene_padded = shard_mod.pad_scene_for_geom(scene, rmesh.n_geom)
+    scene_g = _replicate(scene_padded, mesh)
     cam_g = _replicate(cam, mesh)
 
-    # Global pixel/sample index arrays, sharded like render_sharded expects.
+    # Global pixel/sample index arrays, sharded like the shard body expects.
     n_pix = cfg.n_pixels
     spp = cfg.samples_per_pixel
     pix_pad = -(-n_pix // rmesh.n_rays) * rmesh.n_rays
@@ -91,58 +94,16 @@ def render_multihost(scene, static, cfg, cam,
         (spp_pad,), NamedSharding(mesh, P("spp")),
         lambda idx: sample_ids[idx])
 
-    sums = _render_global(scene_g, static, cfg, cam_g, rmesh, pix_g, smp_g,
-                          jnp.uint32(cfg.seed if seed is None else seed))
+    # The SAME shard body as single-process render_sharded, jitted over the
+    # global mesh (shard_map partitions across hosts; DCN carries the host
+    # dimension).
+    scene_spec = shard_mod._scene_specs(rmesh, scene_g)
+    cam_spec = type(cam)(*[P() for _ in cam._fields])
+    body = shard_mod.make_shard_body(
+        static, cfg, rmesh, scene_spec, cam_spec,
+        jnp.uint32(cfg.seed if seed is None else seed))
+    sums = jax.jit(body)(scene_g, cam_g, pix_g, smp_g)
+
     # Bring the film shards to every host.
     local = multihost_utils.process_allgather(sums, tiled=True)
     return np.asarray(local)[:n_pix].reshape(cfg.height, cfg.width, 3)
-
-
-def _render_global(scene, static, cfg, cam, rmesh, pix_g, smp_g, seed):
-    """The shard_map body of parallel.shard, invoked on global arrays."""
-    from raytracer_weekend_tpu.parallel import shard as shard_mod
-
-    # Reuse render_sharded's internals by calling its shard body through
-    # the same construction; render_sharded builds its own index arrays, so
-    # inline the equivalent here with the global ones.
-    import functools
-
-    from jax.experimental.shard_map import shard_map
-
-    from raytracer_weekend_tpu import rng as rt_rng
-    from raytracer_weekend_tpu.camera import get_rays
-    from raytracer_weekend_tpu.integrator import trace_rays
-
-    mesh = rmesh.mesh
-    n_pix = cfg.n_pixels
-    spp = cfg.samples_per_pixel
-    geom = rmesh.geom_axis if rmesh.n_geom > 1 else None
-    scene_spec = shard_mod._scene_specs(rmesh, scene)
-    cam_spec = type(cam)(*[P() for _ in cam._fields])
-
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(scene_spec, cam_spec, P(rmesh.ray_axis), P(rmesh.spp_axis)),
-        out_specs=P(rmesh.ray_axis, None),
-        check_rep=False,
-    )
-    def body(scene, cam, pix_local, sample_local):
-        Pl = pix_local.shape[0]
-        Sl = sample_local.shape[0]
-        pix = jnp.repeat(pix_local, Sl)
-        smp = jnp.tile(sample_local, Pl)
-        lane_valid = (pix < n_pix) & (smp < spp)
-        ray_id = (pix * spp + jnp.minimum(smp, spp - 1)).astype(jnp.uint32)
-        col = (pix % cfg.width).astype(jnp.float32)
-        row = (cfg.height - 1 - pix // cfg.width).astype(jnp.float32)
-        uj = rt_rng.rand4(seed, ray_id, 0, rt_rng.SALT_PIXEL_JITTER)
-        u = (col + uj[..., 0]) / (cfg.width - 1)
-        v = (row + uj[..., 1]) / (cfg.height - 1)
-        o, d, time = get_rays(cam, u, v, seed, ray_id)
-        colors = trace_rays(scene, static, cfg, o, d, time, ray_id, seed,
-                            geom_axis=geom)
-        colors = jnp.where(lane_valid[:, None], colors, 0.0)
-        sums = colors.reshape(Pl, Sl, 3).sum(axis=1)
-        return jax.lax.psum(sums, rmesh.spp_axis)
-
-    return jax.jit(body)(scene, cam, pix_g, smp_g)

@@ -102,33 +102,22 @@ def _scene_specs(rmesh: RenderMesh, scene: SceneData):
     )
 
 
-def render_sharded(scene: SceneData, static: SceneStatic, cfg: RenderConfig,
-                   cam: Camera, rmesh: RenderMesh,
-                   seed: Optional[int] = None, diff: bool = False) -> Array:
-    """Full-frame sharded render -> (H, W, 3) color sums over spp.
+def make_shard_body(static: SceneStatic, cfg: RenderConfig,
+                    rmesh: RenderMesh, scene_spec, cam_spec, seed_v,
+                    diff: bool = False):
+    """The ONE shard_map render body, shared by render_sharded (single
+    process) and multihost.render_multihost (global arrays over DCN).
 
-    Bit-identical to integrator.render_image for any mesh shape. When the
+    Returns a shard_map-wrapped fn (scene, cam, pix_ids, sample_ids) ->
+    per-pixel color sums (pix, 3), psum-reduced over the spp axis. When the
     scene qualifies for the fused megakernel and only the ray axis is
     sharded, each shard runs the fused kernel over its contiguous lane
     block; with diff=True the replay-VJP variant (fused_diff) is used so
     gradients flow at fused speed.
     """
-    mesh = rmesh.mesh
-    seed_v = jnp.uint32(cfg.seed if seed is None else seed)
-
     n_pix = cfg.n_pixels
     spp = cfg.samples_per_pixel
-    pix_pad = -(-n_pix // rmesh.n_rays) * rmesh.n_rays
-    spp_pad = -(-spp // rmesh.n_spp) * rmesh.n_spp
-
-    pix_ids = jnp.arange(pix_pad, dtype=jnp.int32)
-    sample_ids = jnp.arange(spp_pad, dtype=jnp.int32)
-
     geom = rmesh.geom_axis if rmesh.n_geom > 1 else None
-    scene_padded = pad_scene_for_geom(scene, rmesh.n_geom)
-
-    scene_spec = _scene_specs(rmesh, scene_padded)
-    cam_spec = type(cam)(*[P() for _ in cam._fields])
 
     # Fused dispatch needs each shard's lanes to be one contiguous
     # pixel*spp+sample block: ray-axis sharding only.
@@ -138,7 +127,7 @@ def render_sharded(scene: SceneData, static: SceneStatic, cfg: RenderConfig,
     interp = jax.default_backend() == "cpu"
 
     @functools.partial(
-        shard_map, mesh=mesh,
+        shard_map, mesh=rmesh.mesh,
         in_specs=(scene_spec, cam_spec, P(rmesh.ray_axis), P(rmesh.spp_axis)),
         out_specs=P(rmesh.ray_axis, None),
         check_rep=False,
@@ -180,6 +169,33 @@ def render_sharded(scene: SceneData, static: SceneStatic, cfg: RenderConfig,
         # are psum-broadcast every bounce), so no geom reduction is needed.
         return jax.lax.psum(sums, rmesh.spp_axis)
 
+    return shard_body
+
+
+def render_sharded(scene: SceneData, static: SceneStatic, cfg: RenderConfig,
+                   cam: Camera, rmesh: RenderMesh,
+                   seed: Optional[int] = None, diff: bool = False) -> Array:
+    """Full-frame sharded render -> (H, W, 3) color sums over spp.
+
+    Bit-identical to integrator.render_image for any mesh shape (see
+    make_shard_body for the fused/staged dispatch).
+    """
+    seed_v = jnp.uint32(cfg.seed if seed is None else seed)
+
+    n_pix = cfg.n_pixels
+    spp = cfg.samples_per_pixel
+    pix_pad = -(-n_pix // rmesh.n_rays) * rmesh.n_rays
+    spp_pad = -(-spp // rmesh.n_spp) * rmesh.n_spp
+
+    pix_ids = jnp.arange(pix_pad, dtype=jnp.int32)
+    sample_ids = jnp.arange(spp_pad, dtype=jnp.int32)
+
+    scene_padded = pad_scene_for_geom(scene, rmesh.n_geom)
+    scene_spec = _scene_specs(rmesh, scene_padded)
+    cam_spec = type(cam)(*[P() for _ in cam._fields])
+
+    shard_body = make_shard_body(static, cfg, rmesh, scene_spec, cam_spec,
+                                 seed_v, diff=diff)
     sums = shard_body(scene_padded, cam, pix_ids, sample_ids)  # (pix_pad, 3)
     return sums[:n_pix].reshape(cfg.height, cfg.width, 3)
 
