@@ -400,10 +400,10 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
                 best_trn = best_p = best_u = best_v = None
                 for cI in range(r_pad // rc):
                     md = jax.lax.dot_general(
-                        tab_pd_ref[:, cI * 3 * rc:(cI + 1) * 3 * rc], fd,
+                        tab_pd_ref[8 * cI:8 * cI + 3, :], fd,
                         dn, preferred_element_type=f)
                     mo = jax.lax.dot_general(
-                        tab_po_ref[:, cI * 4 * rc:(cI + 1) * 4 * rc], fo,
+                        tab_po_ref[8 * cI:8 * cI + 4, :], fo,
                         dn, preferred_element_type=f)
                     df = md[0:rc]
                     t_rp = mo[0:rc] / df                          # (rc, L)
@@ -422,7 +422,8 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
                                     f(1.0), f(0.0))
                     if "nogather" not in ablate:
                         p_c = jax.lax.dot_general(
-                            tab_pg_ref[:, cI * rc:(cI + 1) * rc], ohr, dng,
+                            tab_pg_ref[PG_ROWS * cI:PG_ROWS * (cI + 1), :],
+                            ohr, dng,
                             preferred_element_type=f)             # (PG, L)
                         # Winner's in-plane coordinates (normal/UV interp).
                         # Sanitize through `ok` first: padded slots carry
@@ -904,13 +905,13 @@ def _build_table(scene: SceneData, s_pad: int) -> Array:
 def _build_planar_tables(scene: SceneData, r_pad: int,
                          with_rects: bool, with_tris: bool,
                          r_chunk: int | None = None):
-    """(tab_pd (3, 3*r_pad), tab_po (4, 4*r_pad), tab_pg (PG_ROWS, r_pad)).
+    """(tab_pd (c*8, 3*rc), tab_po (c*8, 4*rc), tab_pg (c*PG_ROWS, rc))
+    with c = r_pad // r_chunk chunks, each chunk's block in its own
+    sublane row group.
 
     Unified rect + triangle coefficient tables (row-layout comment at the
     top). Column order: rects first, then triangles, then padding. Invalid/
-    padded slots carry all-zero coefficients so t = 0/0 = NaN. With
-    r_chunk < r_pad the [DF|U1|V1] / [NUM|U0|V0|FLAG] blocks are laid out
-    chunk-major so the kernel can slice one bounded chunk at a time.
+    padded slots carry all-zero coefficients so t = 0/0 = NaN.
     """
     mt = scene.materials
     tx = scene.textures
@@ -999,27 +1000,34 @@ def _build_planar_tables(scene: SceneData, r_pad: int,
                     ((0, r_pad - R), (0, 0)))
         return m.T
 
-    tab_pd = jnp.concatenate(
-        [padc(n_all, 3), padc(ua_all, 3), padc(ub_all, 3)], axis=1)
+    # Chunk-major, SUBLANE-stacked layout: each chunk's coefficient block
+    # lives in its own 8-sublane row group, so every VMEM table's lane dim
+    # is O(r_chunk) regardless of scene size. (The previous lane-stacked
+    # layout put 4*r_pad lanes in one block; the TPU compile helper crashes
+    # for any planar table with >= ~15k lanes — r_pad 3584 compiles,
+    # 4096 does not, bisected on-chip. tools/perf_r2e.py.)
+    rc = r_chunk or r_pad
+    c = r_pad // rc
+
+    def chunk_stack(blocks, used_rows):
+        # blocks: list of (used_rows, r_pad) -> (c*8, len(blocks)*rc) with
+        # chunk cI's [b0|b1|...] block in sublane rows [8cI, 8cI+used_rows).
+        x = jnp.stack(blocks, axis=0)                    # (B, rows, r_pad)
+        B = x.shape[0]
+        x = x.reshape(B, used_rows, c, rc)
+        x = x.transpose(2, 1, 0, 3).reshape(c, used_rows, B * rc)
+        x = jnp.pad(x, ((0, 0), (0, 8 - used_rows), (0, 0)))
+        return x.reshape(c * 8, B * rc)
+
+    tab_pd = chunk_stack([padc(n_all, 3), padc(ua_all, 3), padc(ub_all, 3)],
+                         3)
     num_c = jnp.concatenate([-n_all, cat(k_rows)[:, None]], 1)
     u0_c = jnp.concatenate([ua_all, cat(ca_rows)[:, None]], 1)
     v0_c = jnp.concatenate([ub_all, cat(cb_rows)[:, None]], 1)
     zero3 = jnp.zeros((R, 3), jnp.float32)
     fl_c = jnp.concatenate([zero3, cat(flag_rows)[:, None]], 1)
-    tab_po = jnp.concatenate(
-        [padc(num_c, 4), padc(u0_c, 4), padc(v0_c, 4), padc(fl_c, 4)], axis=1)
-
-    if r_chunk and r_chunk < r_pad:
-        # Block-major [N | UA | UB] -> chunk-major [N_c0 | UA_c0 | UB_c0 |
-        # N_c1 | ...] so the kernel slices per-chunk coefficient sets.
-        c = r_pad // r_chunk
-
-        def chunked(tab, blocks):
-            return (tab.reshape(tab.shape[0], blocks, c, r_chunk)
-                    .swapaxes(1, 2).reshape(tab.shape[0], blocks * r_pad))
-
-        tab_pd = chunked(tab_pd, 3)
-        tab_po = chunked(tab_po, 4)
+    tab_po = chunk_stack(
+        [padc(num_c, 4), padc(u0_c, 4), padc(v0_c, 4), padc(fl_c, 4)], 4)
 
     mat = cat(mat_rows)
     tid = mt.tex[mat]
@@ -1047,6 +1055,9 @@ def _build_planar_tables(scene: SceneData, r_pad: int,
     tab_pg = jnp.stack(rows, axis=0).astype(jnp.float32)
     tab_pg = jnp.pad(tab_pg, ((0, PG_ROWS - tab_pg.shape[0]),
                               (0, r_pad - R)))
+    # Same chunk-major sublane stacking: (PG_ROWS, r_pad) -> (c*PG, rc).
+    tab_pg = (tab_pg.reshape(PG_ROWS, c, rc).transpose(1, 0, 2)
+              .reshape(c * PG_ROWS, rc))
     return tab_pd, tab_po, tab_pg
 
 
@@ -1219,13 +1230,14 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     if has_planar:
         tab_pd, tab_po, tab_pg = _build_planar_tables(
             scene, r_pad, with_rects, with_tris, r_chunk)
+        n_ch = r_pad // r_chunk
         tabs += [tab_pd, tab_po, tab_pg]
         tab_specs += [
-            pl.BlockSpec((3, 3 * r_pad), lambda i: (0, 0),
+            pl.BlockSpec((n_ch * 8, 3 * r_chunk), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 4 * r_pad), lambda i: (0, 0),
+            pl.BlockSpec((n_ch * 8, 4 * r_chunk), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PG_ROWS, r_pad), lambda i: (0, 0),
+            pl.BlockSpec((n_ch * PG_ROWS, r_chunk), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
     if n_vol:

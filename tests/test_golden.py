@@ -1,9 +1,16 @@
 """Golden-image regression tests.
 
 The reference has no golden tests (SURVEY.md §4); the deterministic
-counter-based RNG makes them cheap here: tiny renders of representative
-scenes are pinned to stored arrays. A legitimate algorithm change must
-regenerate them (`python tests/test_golden.py regen`).
+counter-based RNG makes them cheap here: tiny renders of every catalog
+scene (console_app/src/scenes.rs:41-61, all 13) plus three synthetic
+feature-dense cases are pinned to committed arrays.
+
+STRICT: a missing golden FAILS. To (re)generate after a deliberate
+rendering change:
+
+    RTW_REGEN_GOLDEN=1 python -m pytest tests/test_golden.py -q
+
+then commit the changed .npy files under tests/golden/.
 """
 
 import os
@@ -14,12 +21,29 @@ import pytest
 from raytracer_weekend_tpu import integrator
 from raytracer_weekend_tpu.camera import make_camera
 from raytracer_weekend_tpu.config import RenderConfig
+from raytracer_weekend_tpu.models.scenes import SCENES
 from raytracer_weekend_tpu.scene import builder as B
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+REGEN = os.environ.get("RTW_REGEN_GOLDEN") == "1"
+
+# Catalog scenes: every entry of the reference's scene switch
+# (console_app/src/scenes.rs:41-61) at a tiny deterministic config.
+_BIG = {"book2_final_scene", "animated_book2_final_scene",
+        "wavefront_cow_obj", "wavefront_suspension_obj",
+        "textured_monument"}
 
 
-def _cases():
+def _catalog_case(name):
+    small = name not in _BIG
+    cfg = RenderConfig(width=24 if small else 20, height=14 if small else 12,
+                       samples_per_pixel=4 if small else 2,
+                       max_depth=6 if small else 5, seed=11)
+    objs, cams, bg = SCENES[name](cfg.aspect_ratio)
+    return objs, bg, cfg, cams[0]
+
+
+def _synthetic_cases():
     ground = B.Lambertian(B.Checker(B.SolidColor((0.2, 0.3, 0.1)),
                                     B.SolidColor((0.9, 0.9, 0.9)), 10.0))
     cases = {}
@@ -78,17 +102,27 @@ def _render(case):
     return np.asarray(integrator.render_image(scene, static, cfg, cam))
 
 
-@pytest.mark.parametrize("name", sorted(_cases()))
-def test_golden(name):
-    """Bootstrap mode: a missing golden is written on first run (delete the
-    .npy under tests/golden/ to regenerate after a deliberate change)."""
-    path = os.path.join(GOLDEN_DIR, f"{name}.npy")
-    img = _render(_cases()[name])
+def _check(name, img):
     assert np.isfinite(img).all()
     assert img.mean() > 1e-3, "degenerate all-black golden render"
-    if not os.path.exists(path):
+    path = os.path.join(GOLDEN_DIR, f"{name}.npy")
+    if REGEN:
         os.makedirs(GOLDEN_DIR, exist_ok=True)
         np.save(path, img)
         return
+    if not os.path.exists(path):
+        pytest.fail(f"missing golden {path}; regenerate with "
+                    f"RTW_REGEN_GOLDEN=1 python -m pytest tests/test_golden.py"
+                    f" and commit the .npy")
     golden = np.load(path)
     np.testing.assert_allclose(img, golden, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("name", sorted(_synthetic_cases()))
+def test_golden_synthetic(name):
+    _check(name, _render(_synthetic_cases()[name]))
+
+
+@pytest.mark.parametrize("name", sorted(SCENES))
+def test_golden_catalog(name):
+    _check(f"catalog_{name}", _render(_catalog_case(name)))
