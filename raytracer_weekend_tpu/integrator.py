@@ -304,100 +304,10 @@ def trace_rays(scene: SceneData, static: SceneStatic, cfg: RenderConfig,
     return radiance
 
 
-def replay_rays(scene: SceneData, static: SceneStatic, cfg: RenderConfig,
-                o: Array, d: Array, time: Array, ray_id: Array, seed,
-                codes: Array) -> Array:
-    """Differentiable radiance replay along saved winner paths -> (B,3).
-
-    `codes` (B, max_depth) are the fused megakernel's per-bounce winner
-    records (fam + 4*idx; 0 = miss or dead — ops.pallas.megakernel
-    emit_paths). With the O(S) closest-hit search replaced by an O(1)
-    winner lookup, the whole bounce — t recompute, hit record, textures,
-    scatter — is the staged path's own differentiable code, so jax.vjp of
-    this function is the megakernel's backward pass (the discrete path
-    structure is held fixed, exactly like the staged gradient where argmin
-    winners are detached).
-    """
-    B = o.shape[0]
-    background = scene.background
-    n_rects = static.n_rects
-
-    init = (
-        o, d,
-        jnp.ones((B, 3)),            # throughput
-        jnp.zeros((B, 3)),           # radiance
-        jnp.ones((B,), dtype=bool),  # alive
-    )
-
-    def bounce(state, xs):
-        depth, code = xs
-        o, d, throughput, radiance, alive = state
-        code = code.astype(jnp.int32)
-        hit_mask = alive & (code > 0)
-        famc = code & 3              # 1 sphere / 2 planar / 3 volume
-        idxg = code >> 2
-        is_sph = hit_mask & (famc == 1)
-        is_rect = hit_mask & (famc == 2) & (idxg < n_rects)
-        is_tri = hit_mask & (famc == 2) & (idxg >= n_rects)
-        is_vol = hit_mask & (famc == 3)
-
-        fam = jnp.full((B,), _FAM_NONE, jnp.int32)
-        fam = jnp.where(is_sph, _FAM_SPHERE, fam)
-        fam = jnp.where(is_rect, _FAM_RECT, fam)
-        fam = jnp.where(is_tri, _FAM_TRI, fam)
-        fam = jnp.where(is_vol, _FAM_VOL, fam)
-        idx = jnp.where(is_tri, idxg - n_rects, idxg)
-
-        # O(1) winner-only t recompute (gathers clamp out-of-range indices
-        # for lanes of other families; the fam select masks them out).
-        t = jnp.full((B,), _INF)
-        if static.n_spheres:
-            from raytracer_weekend_tpu.ops.sphere import sphere_t_single
-            t = jnp.where(is_sph,
-                          sphere_t_single(scene.spheres, idx, o, d, time,
-                                          cfg.t_min), t)
-        if static.n_rects:
-            from raytracer_weekend_tpu.ops.rect import rect_t_single
-            t = jnp.where(is_rect, rect_t_single(scene.rects, idx, o, d), t)
-        if static.n_triangles:
-            from raytracer_weekend_tpu.ops.triangle import triangle_t_single
-            t = jnp.where(is_tri,
-                          triangle_t_single(scene.triangles, idx, o, d), t)
-        if static.n_volumes:
-            from raytracer_weekend_tpu.ops.volume import volume_candidates
-            cand = volume_candidates(
-                scene.volumes, o, d, cfg.t_min, seed, ray_id, depth,
-                use_log10=cfg.use_log10_volume_sampling)    # (B, V)
-            t_v = jnp.take_along_axis(cand, idx[:, None], axis=-1)[..., 0]
-            t = jnp.where(is_vol, t_v, t)
-
-        # Identical to the trace_rays bounce from here on.
-        miss = alive & ~hit_mask
-        radiance = radiance + jnp.where(miss[:, None],
-                                        throughput * background, 0.0)
-        alive = hit_mask
-
-        p, normal, front_face, u, v, mat_id = _hit_record(
-            scene, static, o, d, time, t, fam, idx)
-
-        sc = mat_mod.scatter(
-            scene.materials, scene.textures, mat_id, d, p, normal, front_face,
-            u, v, seed, ray_id, depth,
-            has_noise=static.has_noise, has_image=static.has_image,
-        )
-        radiance = radiance + jnp.where(alive[:, None],
-                                        throughput * sc.emitted, 0.0)
-        throughput = jnp.where(alive[:, None],
-                               throughput * sc.attenuation, throughput)
-        alive = alive & sc.alive
-        o = jnp.where(alive[:, None], p, o)
-        d = jnp.where(alive[:, None], sc.direction, d)
-        return (o, d, throughput, radiance, alive), None
-
-    (_, _, _, radiance, _), _ = jax.lax.scan(
-        bounce, init,
-        (jnp.arange(cfg.max_depth, dtype=jnp.uint32), codes.T))
-    return radiance
+# The differentiable path replay (the fused megakernel's backward) lives in
+# replay.py — a packed-row design with one gather/scatter per family per
+# bounce; re-exported here as its historical import site.
+from raytracer_weekend_tpu.replay import replay_rays  # noqa: E402, F401
 
 
 def _pixel_rays(cam: Camera, cfg: RenderConfig, pixel_ids: Array, seed):

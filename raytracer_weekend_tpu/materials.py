@@ -76,7 +76,27 @@ def scatter(
         textures, materials.tex[mat_id], u, v, p,
         has_noise=has_noise, has_image=has_image,
     )
+    return scatter_packed(mtype, fuzz, ior, tex_color, ray_dir, p, normal,
+                          front_face, seed, ray_id, depth)
 
+
+def scatter_packed(
+    mtype: Array,      # (B,) int32 — per-lane material type (pre-gathered)
+    fuzz: Array,       # (B,) f32
+    ior: Array,        # (B,) f32
+    tex_color: Array,  # (B,3) evaluated albedo/emission texture
+    ray_dir: Array,
+    p: Array,
+    normal: Array,
+    front_face: Array,
+    seed,
+    ray_id: Array,
+    depth,
+) -> ScatterResult:
+    """The gather-free scatter core: all per-lane material parameters are
+    already resolved. Shared by `scatter` (table-gather front-end) and the
+    packed replay backward (replay.py), which resolves parameters with ONE
+    per-primitive row gather per bounce instead of ~30 per-field gathers."""
     unit_in = normalize(ray_dir, eps=1e-20)
 
     # --- Lambertian (material.rs:42-56) -----------------------------------

@@ -397,14 +397,14 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
                 fd = jnp.concatenate([R(dx), R(dy), R(dz)], axis=0)
                 fo = jnp.concatenate([R(ox), R(oy), R(oz), R(one_f)], axis=0)
                 rc = r_chunk
-                best_trn = best_p = best_u = best_v = None
-                for cI in range(r_pad // rc):
-                    md = jax.lax.dot_general(
-                        tab_pd_ref[8 * cI:8 * cI + 3, :], fd,
-                        dn, preferred_element_type=f)
-                    mo = jax.lax.dot_general(
-                        tab_po_ref[8 * cI:8 * cI + 4, :], fo,
-                        dn, preferred_element_type=f)
+                n_chunks = r_pad // rc
+
+                def planar_chunk(pd8, po8, pg):
+                    # pd8 (8, 3rc) rows 0-2 used; po8 (8, 4rc) rows 0-3.
+                    md = jax.lax.dot_general(pd8[0:3], fd, dn,
+                                             preferred_element_type=f)
+                    mo = jax.lax.dot_general(po8[0:4], fo, dn,
+                                             preferred_element_type=f)
                     df = md[0:rc]
                     t_rp = mo[0:rc] / df                          # (rc, L)
                     u = mo[rc:2 * rc] + t_rp * md[rc:2 * rc]
@@ -422,8 +422,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
                                     f(1.0), f(0.0))
                     if "nogather" not in ablate:
                         p_c = jax.lax.dot_general(
-                            tab_pg_ref[PG_ROWS * cI:PG_ROWS * (cI + 1), :],
-                            ohr, dng,
+                            pg, ohr, dng,
                             preferred_element_type=f)             # (PG, L)
                         # Winner's in-plane coordinates (normal/UV interp).
                         # Sanitize through `ok` first: padded slots carry
@@ -435,18 +434,45 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
                                       axis=0, keepdims=True)
                     else:
                         p_c = u_c = v_c = None
-                    if best_trn is None:
-                        best_trn, best_p = trn, p_c
-                        best_u, best_v = u_c, v_c
-                    else:
-                        if "nogather" not in ablate:
-                            # (1, L) blend broadcast along sublanes — the
-                            # same broadcast shape the sphere planes use.
-                            b = jnp.where(trn > best_trn, f(1.0), f(0.0))
-                            best_p = best_p + b * (p_c - best_p)
-                            best_u = best_u + b * (u_c - best_u)
-                            best_v = best_v + b * (v_c - best_v)
-                        best_trn = jnp.maximum(trn, best_trn)
+                    return trn, p_c, u_c, v_c
+
+                # Chunk 0 statically (its outputs give the loop carries
+                # their concrete layouts); remaining chunks in a fori_loop
+                # with dynamic 8-aligned sublane slices, so the unrolled
+                # code size is O(1) in scene size. (Static unrolling of c
+                # chunk bodies crashes the TPU compile helper once c >= 8
+                # at any grid, or c >= ~5 at frame-scale grids — bisected
+                # on-chip, tools/perf_r2{d,e}.py.)
+                best_trn, best_p, best_u, best_v = planar_chunk(
+                    tab_pd_ref[0:8, :], tab_po_ref[0:8, :],
+                    tab_pg_ref[0:PG_ROWS, :])
+
+                if n_chunks > 1 and "nogather" not in ablate:
+                    def chunk_body(cI, carry):
+                        btrn, bp, bu, bv = carry
+                        trn, p_c, u_c, v_c = planar_chunk(
+                            tab_pd_ref[pl.ds(cI * 8, 8), :],
+                            tab_po_ref[pl.ds(cI * 8, 8), :],
+                            tab_pg_ref[pl.ds(cI * PG_ROWS, PG_ROWS), :])
+                        b = jnp.where(trn > btrn, f(1.0), f(0.0))
+                        return (jnp.maximum(trn, btrn),
+                                bp + b * (p_c - bp),
+                                bu + b * (u_c - bu),
+                                bv + b * (v_c - bv))
+
+                    best_trn, best_p, best_u, best_v = jax.lax.fori_loop(
+                        1, n_chunks, chunk_body,
+                        (best_trn, best_p, best_u, best_v))
+                elif n_chunks > 1:  # timing-ablation path: t-only carry
+                    def chunk_body_t(cI, btrn):
+                        trn, _, _, _ = planar_chunk(
+                            tab_pd_ref[pl.ds(cI * 8, 8), :],
+                            tab_po_ref[pl.ds(cI * 8, 8), :],
+                            tab_pg_ref[pl.ds(cI * PG_ROWS, PG_ROWS), :])
+                        return jnp.maximum(trn, btrn)
+
+                    best_trn = jax.lax.fori_loop(1, n_chunks, chunk_body_t,
+                                                 best_trn)
                 hit_row = best_trn > f(-1.0e37)
                 tr_rows.append(jnp.where(hit_row, -best_trn, f(_BIG)))
                 if "nogather" not in ablate:
@@ -1296,25 +1322,58 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         out_shapes.append(
             jax.ShapeDtypeStruct((8 * D, n_tiles * lanes_l), jnp.float32))
 
-    rad, seg, *aux = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((16, lanes_l), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            *tab_specs,
-        ],
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        cost_estimate=pl.CostEstimate(
-            flops=cfg.max_depth * b_pad * (s_pad + r_pad) * 40,
-            bytes_accessed=(4 * b_pad * 4) + P_ROWS * s_pad * 4,
-            transcendentals=cfg.max_depth * b_pad * 24,
-        ),
-        interpret=interpret,
-    )(par, ipar, colrow, *tabs)
+    # Slab the grid: the TPU compile helper crashes once a call's total
+    # output elements pass ~10-60M (book2 defer_tex at frame-scale grids;
+    # nodefer kernels with 32 output rows are fine to >1400 tiles —
+    # bisected on-chip, tools/perf_r2{d,g}.py). Splitting into same-shape
+    # calls costs one compile + per-call dispatch only.
+    rows_out = sum(s.shape[0] for s in out_shapes)
+    budget = int(os.environ.get("RTW_SLAB_ELEMS", 8 << 20))
+    slab_tiles = max(1, min(n_tiles, budget // (rows_out * lanes_l)))
+    n_slabs = -(-n_tiles // slab_tiles)
+
+    def call_slab(ipar_k, colrow_k, gk):
+        return pl.pallas_call(
+            kernel,
+            grid=(gk,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((16, lanes_l), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                *tab_specs,
+            ],
+            out_specs=out_specs,
+            out_shape=[jax.ShapeDtypeStruct((s.shape[0], gk * lanes_l),
+                                            s.dtype) for s in out_shapes],
+            cost_estimate=pl.CostEstimate(
+                flops=cfg.max_depth * (gk * tile_b) * (s_pad + r_pad) * 40,
+                bytes_accessed=(4 * gk * tile_b * 4) + P_ROWS * s_pad * 4,
+                transcendentals=cfg.max_depth * (gk * tile_b) * 24,
+            ),
+            interpret=interpret,
+        )(par, ipar_k, colrow_k, *tabs)
+
+    if n_slabs == 1:
+        rad, seg, *aux = call_slab(ipar, colrow, n_tiles)
+    else:
+        outs = []
+        for k in range(n_slabs):
+            g0 = k * slab_tiles
+            gk = min(slab_tiles, n_tiles - g0)
+            # Per-slab lane window: shift the start, clamp the live count.
+            ipar_k = jnp.stack([
+                ipar[0, 0] + jnp.int32(g0 * tile_b),
+                ipar[0, 1],
+                jnp.clip(ipar[0, 2] - g0 * tile_b, 0, gk * tile_b),
+                jnp.int32(0),
+            ]).reshape(1, 4)
+            colrow_k = colrow[:, g0 * lanes_l:(g0 + gk) * lanes_l]
+            outs.append(call_slab(ipar_k, colrow_k, gk))
+        # Tiles are independent; concatenating slab outputs along the lane
+        # axis reassembles the full (rows, n_tiles*L) planes in tile order.
+        rad, seg, *aux = (jnp.concatenate(parts, axis=1)
+                          for parts in zip(*outs))
 
     # Undo the (8, L) tile layout: ray r of tile i lives at (sublane r // L,
     # lane r % L), so (rows, G*L) planes unscramble as (tile, sublane, lane).

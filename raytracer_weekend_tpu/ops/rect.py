@@ -61,15 +61,6 @@ def hit_rects(rc: Rects, o: Array, d: Array, t_min: float,
     return jnp.min(t_all, axis=-1), idx
 
 
-def rect_t_single(rc: Rects, idx: Array, o: Array, d: Array) -> Array:
-    """Hit distance of ONE known rect per ray (rectangular.rs:33) —
-    differentiable recompute for the replay-based VJP."""
-    axis = rc.axis[idx]
-    o_f = jnp.take_along_axis(o, axis[:, None], axis=-1)[..., 0]
-    d_f = jnp.take_along_axis(d, axis[:, None], axis=-1)[..., 0]
-    return (rc.k[idx] - o_f) / d_f
-
-
 def rect_record(rc: Rects, idx: Array, o: Array, d: Array, t: Array):
     """Hit record for winning rect rows.
 

@@ -88,32 +88,6 @@ def hit_spheres(sp: Spheres, o: Array, d: Array, time: Array, t_min: float,
     return t, idx
 
 
-def sphere_t_single(sp: Spheres, idx: Array, o: Array, d: Array,
-                    time: Array, t_min: float) -> Array:
-    """Hit distance of ONE known sphere per ray (the fused kernel's winner).
-
-    Differentiable recompute for the replay-based VJP (integrator.replay_rays):
-    with the winner index saved, t is an analytic function of the ray and
-    that sphere's parameters — no O(S) search, gradients flow to c0/c1/radius
-    exactly as in hit_spheres. Root choice follows spherical.rs:38-44
-    (nearest root >= t_min, else the far root).
-    """
-    c0 = sp.c0[idx]
-    c1 = sp.c1[idx]
-    w = (time - sp.t0[idx]) / (sp.t1[idx] - sp.t0[idx])
-    center = c0 + w[:, None] * (c1 - c0)
-    oc = o - center
-    a = dot(d, d)
-    half_b = dot(oc, d)
-    c_term = dot(oc, oc) - sp.radius[idx] ** 2
-    disc = half_b * half_b - a * c_term
-    sqrtd = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
-    inv_a = 1.0 / a
-    root1 = (-half_b - sqrtd) * inv_a
-    root2 = (-half_b + sqrtd) * inv_a
-    return jnp.where(root1 >= t_min, root1, root2)
-
-
 def sphere_uv(outward_normal: Array) -> tuple[Array, Array]:
     """Spherical UV of a unit point (spherical.rs:62-77).
 

@@ -77,19 +77,6 @@ def hit_triangles(tr: Triangles, o: Array, d: Array, t_min: float,
     return jnp.min(t_all, axis=-1), idx
 
 
-def triangle_t_single(tr: Triangles, idx: Array, o: Array, d: Array) -> Array:
-    """Hit distance of ONE known triangle per ray (triangular.rs:118) —
-    differentiable recompute for the replay-based VJP; gradients flow to the
-    winner's vertex positions."""
-    v0 = tr.v0[idx]
-    ab = tr.v1[idx] - v0
-    ac = tr.v2[idx] - v0
-    n = cross(ab, ac)
-    det = -dot(d, n)
-    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
-    return (dot(o, n) - dot(v0, n)) * inv_det
-
-
 def triangle_record(tr: Triangles, idx: Array, o: Array, d: Array, t: Array):
     """Hit record for winning triangles: recompute (u,v) for one triangle per
     ray (cheap scalar math) and interpolate normals/UVs barycentrically.

@@ -96,6 +96,29 @@ def main() -> int:
             print(f"time   {name:28s} FAILED: {type(e).__name__}: "
                   f"{str(e)[:160]}", flush=True)
 
+    # ---- criterion config (depth 50, deferred textures + volumes) ---------
+    try:
+        scene, static, cfg, cam = setup("book2_final_scene", 40, 22, 100, 50,
+                                        seed=1337)
+        seed = jnp.uint32(1337)
+        n = cfg.n_rays
+        t1 = time.time()
+        rad, seg = render_fused(scene, cfg, cam, 0, n, seed, static=static)
+        jax.block_until_ready((rad, seg))
+        compile_s = time.time() - t1
+        segs = int(seg.sum())
+        t1 = time.time()
+        outs = [render_fused(scene, cfg, cam, 0, n, seed, static=static)
+                for _ in range(5)]
+        jax.block_until_ready(outs)
+        dt = (time.time() - t1) / 5
+        print(f"time   book2_criterion 40x22x100d50 frame_s={dt:.4f} "
+              f"seg/s={segs/dt/1e6:8.1f}M segs={segs} "
+              f"(compile {compile_s:.0f}s)", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"time   book2_criterion FAILED: {type(e).__name__}: "
+              f"{str(e)[:160]}", flush=True)
+
     # ---- fwd+bwd breakdown on jumpy ---------------------------------------
     from raytracer_weekend_tpu import integrator
     from raytracer_weekend_tpu.fused_diff import render_fused_diff
