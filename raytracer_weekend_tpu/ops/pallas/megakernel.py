@@ -224,8 +224,8 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
         tab_ref = refs[i_ref]
         i_ref += 1
     if has_planar:
-        tab_pd_ref, tab_po_ref, tab_pg_ref = refs[i_ref:i_ref + 3]
-        i_ref += 3
+        tab_pd_ref, tab_po_ref, tab_pg_ref, vab_ref = refs[i_ref:i_ref + 4]
+        i_ref += 4
     if n_vol:
         vp_ref = refs[i_ref]
         i_ref += 1
@@ -448,17 +448,52 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
                     tab_pg_ref[0:PG_ROWS, :])
 
                 if n_chunks > 1 and "nogather" not in ablate:
+                    # Per-chunk AABB culling (the megakernel's take on
+                    # bvh.rs:101-120): Morton-ordered chunks are spatially
+                    # compact, so a ~20-flop slab test on this row's rays
+                    # skips the whole chunk body (2 matmuls + ~12 plane
+                    # ops on (rc, L)) when no live ray can improve in it.
+                    ivx = 1.0 / R(dx)
+                    ivy = 1.0 / R(dy)
+                    ivz = 1.0 / R(dz)
+                    oxr, oyr, ozr = R(ox), R(oy), R(oz)
+                    alive_r = R(alive_m)
+
                     def chunk_body(cI, carry):
                         btrn, bp, bu, bv = carry
-                        trn, p_c, u_c, v_c = planar_chunk(
-                            tab_pd_ref[pl.ds(cI * 8, 8), :],
-                            tab_po_ref[pl.ds(cI * 8, 8), :],
-                            tab_pg_ref[pl.ds(cI * PG_ROWS, PG_ROWS), :])
-                        b = jnp.where(trn > btrn, f(1.0), f(0.0))
-                        return (jnp.maximum(trn, btrn),
-                                bp + b * (p_c - bp),
-                                bu + b * (u_c - bu),
-                                bv + b * (v_c - bv))
+                        bx0 = (vab_ref[cI, 0] - oxr) * ivx
+                        bx1 = (vab_ref[cI, 3] - oxr) * ivx
+                        by0 = (vab_ref[cI, 1] - oyr) * ivy
+                        by1 = (vab_ref[cI, 4] - oyr) * ivy
+                        bz0 = (vab_ref[cI, 2] - ozr) * ivz
+                        bz1 = (vab_ref[cI, 5] - ozr) * ivz
+                        en = jnp.maximum(jnp.maximum(jnp.minimum(bx0, bx1),
+                                                     jnp.minimum(by0, by1)),
+                                         jnp.minimum(bz0, bz1))
+                        ex = jnp.minimum(jnp.minimum(jnp.maximum(bx0, bx1),
+                                                     jnp.maximum(by0, by1)),
+                                         jnp.maximum(bz0, bz1))
+                        # Conservative: chunk can matter only for a live
+                        # lane whose ray crosses the box past t_min and
+                        # before its current best (-btrn; -(-BIG) if none).
+                        may = ((en <= ex) & (ex >= f(t_min))
+                               & (alive_r > 0.0) & (en < -btrn))
+                        mayf = jnp.where(may, f(1.0), f(0.0))
+
+                        def heavy(carry):
+                            btrn, bp, bu, bv = carry
+                            trn, p_c, u_c, v_c = planar_chunk(
+                                tab_pd_ref[pl.ds(cI * 8, 8), :],
+                                tab_po_ref[pl.ds(cI * 8, 8), :],
+                                tab_pg_ref[pl.ds(cI * PG_ROWS, PG_ROWS), :])
+                            b = jnp.where(trn > btrn, f(1.0), f(0.0))
+                            return (jnp.maximum(trn, btrn),
+                                    bp + b * (p_c - bp),
+                                    bu + b * (u_c - bu),
+                                    bv + b * (v_c - bv))
+
+                        return jax.lax.cond(jnp.max(mayf) > 0.0, heavy,
+                                            lambda c: c, carry)
 
                     best_trn, best_p, best_u, best_v = jax.lax.fori_loop(
                         1, n_chunks, chunk_body,
@@ -1087,6 +1122,47 @@ def _build_planar_tables(scene: SceneData, r_pad: int,
     return tab_pd, tab_po, tab_pg
 
 
+def _planar_chunk_aabbs(scene: SceneData, r_pad: int, r_chunk: int,
+                        with_rects: bool, with_tris: bool) -> Array:
+    """(c, 8) per-chunk AABBs [bmin xyz, bmax xyz, 0, 0] for in-kernel
+    chunk culling (SMEM scalars). Builder Morton order makes chunks
+    spatially compact. Invalid/padded rows carry an inverted box so
+    all-padding chunks always cull; stop_gradient — culling only gates
+    discrete skips (bvh.rs:101-120's role, re-thought as chunk pruning)."""
+    mins, maxs = [], []
+    if with_rects:
+        rc = scene.rects
+        eye = jnp.eye(3, dtype=jnp.float32)
+        f_ax = jnp.asarray(rc.axis)
+        a_ax = jnp.where(f_ax == 0, 1, 0)
+        b_ax = jnp.where(f_ax == 2, 1, 2)
+        pad = 1e-4  # rectangular.rs thin-slab padding
+        lo = (eye[f_ax] * (rc.k - pad)[:, None]
+              + eye[a_ax] * jnp.minimum(rc.a0, rc.a1)[:, None]
+              + eye[b_ax] * jnp.minimum(rc.b0, rc.b1)[:, None])
+        hi = (eye[f_ax] * (rc.k + pad)[:, None]
+              + eye[a_ax] * jnp.maximum(rc.a0, rc.a1)[:, None]
+              + eye[b_ax] * jnp.maximum(rc.b0, rc.b1)[:, None])
+        mins.append(jnp.where(rc.valid[:, None], lo, jnp.inf))
+        maxs.append(jnp.where(rc.valid[:, None], hi, -jnp.inf))
+    if with_tris:
+        tr = scene.triangles
+        lo = jnp.minimum(jnp.minimum(tr.v0, tr.v1), tr.v2)
+        hi = jnp.maximum(jnp.maximum(tr.v0, tr.v1), tr.v2)
+        mins.append(jnp.where(tr.valid[:, None], lo, jnp.inf))
+        maxs.append(jnp.where(tr.valid[:, None], hi, -jnp.inf))
+    lo = jnp.concatenate(mins, axis=0)
+    hi = jnp.concatenate(maxs, axis=0)
+    R = lo.shape[0]
+    lo = jnp.pad(lo, ((0, r_pad - R), (0, 0)), constant_values=jnp.inf)
+    hi = jnp.pad(hi, ((0, r_pad - R), (0, 0)), constant_values=-jnp.inf)
+    c = r_pad // r_chunk
+    lo = lo.reshape(c, r_chunk, 3).min(axis=1)
+    hi = hi.reshape(c, r_chunk, 3).max(axis=1)
+    tab = jnp.concatenate([lo, hi, jnp.zeros((c, 2), jnp.float32)], axis=1)
+    return jax.lax.stop_gradient(tab)
+
+
 def _build_vol_par(scene: SceneData) -> Array:
     """(V, VP_COLS) per-volume SMEM scalars (row layout at the top).
 
@@ -1142,19 +1218,40 @@ def _combine_deferred(scene: SceneData, ctb: Array, dfr: Array,
     from raytracer_weekend_tpu import textures as tex_mod
     from raytracer_weekend_tpu.ops.sphere import sphere_uv
 
-    code = jnp.round(dfr[..., 3]).astype(jnp.int32)        # (B, D)
-    absid = jnp.abs(code)
-    texid = jnp.maximum(absid - 1, 0)
-    abc = dfr[..., 0:3]
-    is_img = scene.textures.ttype[texid] == tex_mod.IMAGE
-    u_s, v_s = sphere_uv(abc)                    # sphere-image: abc = outward
-    sphere_img = is_img & (code > 0)
-    u = jnp.where(sphere_img, u_s, dfr[..., 0])  # planar-image: abc = (u,v,0)
-    v = jnp.where(sphere_img, v_s, dfr[..., 1])
-    f_rgb = tex_mod.texture_value(scene.textures, texid, u, v, abc,
-                                  has_noise=has_noise, has_image=has_image)
-    f_rgb = jnp.where((absid > 0)[..., None], f_rgb, 1.0)
-    return jnp.sum(ctb * jnp.cumprod(f_rgb, axis=1), axis=1)
+    def combine(args):
+        ctb, dfr = args
+        code = jnp.round(dfr[..., 3]).astype(jnp.int32)    # (b, D)
+        absid = jnp.abs(code)
+        texid = jnp.maximum(absid - 1, 0)
+        abc = dfr[..., 0:3]
+        is_img = scene.textures.ttype[texid] == tex_mod.IMAGE
+        u_s, v_s = sphere_uv(abc)                # sphere-image: abc = outward
+        sphere_img = is_img & (code > 0)
+        u = jnp.where(sphere_img, u_s, dfr[..., 0])  # planar: abc = (u,v,0)
+        v = jnp.where(sphere_img, v_s, dfr[..., 1])
+        f_rgb = tex_mod.texture_value(scene.textures, texid, u, v, abc,
+                                      has_noise=has_noise,
+                                      has_image=has_image)
+        f_rgb = jnp.where((absid > 0)[..., None], f_rgb, 1.0)
+        return jnp.sum(ctb * jnp.cumprod(f_rgb, axis=1), axis=1)
+
+    # Evaluate in fixed-size pieces: the texel graph (Perlin turbulence +
+    # image-atlas gathers) makes the TPU compiler's time explode
+    # superlinearly in lane count — ~40 s at 0.5M (B, D) lanes, hung >30 min
+    # at 0.7M (tools probe, 2026-08-20). lax.map compiles the piece shape
+    # once and loops; the work is bandwidth-bound either way.
+    B = ctb.shape[0]
+    piece = 1 << 15
+    if B <= piece:
+        return combine((ctb, dfr))
+    n_p = -(-B // piece)
+    pad = n_p * piece - B
+    ctb_p = jnp.pad(ctb, ((0, pad), (0, 0), (0, 0)))
+    dfr_p = jnp.pad(dfr, ((0, pad), (0, 0), (0, 0)))
+    out = jax.lax.map(combine,
+                      (ctb_p.reshape(n_p, piece, *ctb.shape[1:]),
+                       dfr_p.reshape(n_p, piece, *dfr.shape[1:])))
+    return out.reshape(n_p * piece, 3)[:B]
 
 
 def _tile_b(s_pad: int) -> int:
@@ -1257,7 +1354,9 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         tab_pd, tab_po, tab_pg = _build_planar_tables(
             scene, r_pad, with_rects, with_tris, r_chunk)
         n_ch = r_pad // r_chunk
-        tabs += [tab_pd, tab_po, tab_pg]
+        tabs += [tab_pd, tab_po, tab_pg,
+                 _planar_chunk_aabbs(scene, r_pad, r_chunk,
+                                     with_rects, with_tris)]
         tab_specs += [
             pl.BlockSpec((n_ch * 8, 3 * r_chunk), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1265,6 +1364,7 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_ch * PG_ROWS, r_chunk), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
     if n_vol:
         tabs.append(_build_vol_par(scene))

@@ -467,8 +467,58 @@ class _Compiler:
 
     # -- table emission ----------------------------------------------------
 
+    @staticmethod
+    def _morton_argsort(cent: np.ndarray) -> np.ndarray:
+        """Z-order permutation of (N, 3) centroids (10 bits/axis).
+
+        Spatially coherent table order makes the megakernel's per-chunk
+        AABBs compact, which is what its chunk culling prunes on; the BVH
+        builder benefits the same way. Pure reordering — winner indices
+        stay internally consistent, images unchanged (ties measure-zero).
+        """
+        c = np.asarray(cent, np.float64)
+        lo = c.min(axis=0)
+        span = c.max(axis=0) - lo
+        q = ((c - lo) / np.where(span == 0, 1.0, span) * 1023.0).astype(
+            np.uint64)
+
+        def spread(x):
+            x = (x | (x << 16)) & 0x030000FF
+            x = (x | (x << 8)) & 0x0300F00F
+            x = (x | (x << 4)) & 0x030C30C3
+            x = (x | (x << 2)) & 0x09249249
+            return x
+
+        code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(
+            q[:, 2])
+        return np.argsort(code, kind="stable")
+
+    def _sort_spatially(self):
+        """Morton-order spheres, rects, and triangles (volumes keep their
+        order: the RNG stream salts by volume index)."""
+        if len(self.sph) > 1:
+            cent = np.asarray([(np.asarray(c0) + np.asarray(c1)) / 2
+                               for c0, c1, *_ in self.sph])
+            self.sph = [self.sph[i] for i in self._morton_argsort(cent)]
+        if len(self.rect) > 1:
+            cent = []
+            for axis, a0, a1, b0, b1, k, _ in self.rect:
+                a_ax, b_ax = _RECT_AXES[axis]
+                p = np.zeros(3)
+                p[a_ax] = (a0 + a1) / 2
+                p[b_ax] = (b0 + b1) / 2
+                p[axis] = k
+                cent.append(p)
+            self.rect = [self.rect[i]
+                         for i in self._morton_argsort(np.asarray(cent))]
+        if len(self.tri) > 1:
+            cent = np.asarray([np.mean(np.asarray(v), axis=0)
+                               for v, _, _, _ in self.tri])
+            self.tri = [self.tri[i] for i in self._morton_argsort(cent)]
+
     def finish(self, background,
                bvh: str | bool = "auto") -> tuple[SceneData, SceneStatic]:
+        self._sort_spatially()
         n_spheres = len(self.sph)
         n_rects = len(self.rect)
         n_tris = len(self.tri)

@@ -33,21 +33,15 @@ def _unit(v):
     return v / np.linalg.norm(v)
 
 
-def _sphere_hit(c, r, o, d, t_min, t_max):
-    oc = o - c
-    a = d @ d
-    half_b = oc @ d
-    cterm = oc @ oc - r * r
-    disc = half_b * half_b - a * cterm
-    if disc <= 0:
-        return None
-    sq = math.sqrt(disc)
-    root = (-half_b - sq) / a
-    if root < t_min or root > t_max:
-        root = (-half_b + sq) / a
-        if root < t_min or root > t_max:
-            return None
-    return root
+# Relative epsilon for knife-edge detection: a lane is FRAGILE when any
+# discrete decision along its path (hit/miss, winner, branch) sits within
+# this margin of its threshold in f64 — the f32 renderer may legitimately
+# take the other branch there, making the whole lane incomparable. Sized
+# to a few ulps of accumulated f32 error (~1e-7/op over tens of ops); at
+# mesh scale every path grazes SOME triangle bound, so a generous margin
+# would flag every pixel.
+_EDGE = 2e-5
+_EDGE_SPH = 2e-4
 
 
 class Oracle:
@@ -55,6 +49,42 @@ class Oracle:
         self.s = jax_to_np(scene)
         self.static = static
         self.cfg = cfg
+        self.fragile = False  # set during sample_ray; reset per lane
+
+    def _edge(self, lhs, rhs, scale=1.0, eps=_EDGE):
+        """Mark the current lane fragile when |lhs - rhs| is within the
+        knife-edge margin (decision boundary too close to call in f32).
+
+        Sphere decisions pass the wider _EDGE_SPH: the renderer evaluates
+        its quadratics in MXU-factored form (|o|^2 - 2o.c + k), whose
+        cancellation error for a far camera is orders beyond a direct
+        |o-c|^2 evaluation's few ulps."""
+        if abs(lhs - rhs) < eps * (abs(scale) + 1e-12):
+            self.fragile = True
+
+    def _sphere_hit(self, c, r, o, d, t_min, t_max):
+        oc = o - c
+        a = d @ d
+        half_b = oc @ d
+        cterm = oc @ oc - r * r
+        disc = half_b * half_b - a * cterm
+        self._edge(disc, 0.0, half_b * half_b + abs(a * cterm),
+                   eps=_EDGE_SPH)
+        if disc <= 0:
+            return None
+        sq = math.sqrt(disc)
+        root = (-half_b - sq) / a
+        self._edge(root, t_min, 1.0 + abs(root), eps=_EDGE_SPH)
+        if t_max < np.inf:
+            self._edge(root, t_max, 1.0 + abs(root), eps=_EDGE_SPH)
+        if root < t_min or root > t_max:
+            root = (-half_b + sq) / a
+            self._edge(root, t_min, 1.0 + abs(root), eps=_EDGE_SPH)
+            if t_max < np.inf:
+                self._edge(root, t_max, 1.0 + abs(root), eps=_EDGE_SPH)
+            if root < t_min or root > t_max:
+                return None
+        return root
 
     # -- closest hit over all families (linear scan) -----------------------
 
@@ -64,6 +94,8 @@ class Oracle:
         t_min = self.cfg.t_min
 
         def better(t):
+            if t is not None and best is not None:
+                self._edge(t, best[0], 1.0 + abs(t))   # winner tie
             return t is not None and (best is None or t < best[0])
 
         if self.static.n_spheres:
@@ -72,7 +104,8 @@ class Oracle:
                 w = (time - s.spheres.t0[i]) / (s.spheres.t1[i] - s.spheres.t0[i])
                 c = c0 + w * (c1 - c0)
                 r = s.spheres.radius[i]
-                t = _sphere_hit(c, r, o, d, t_min, np.inf)
+                t = self._sphere_hit(c, r, o, d, t_min,
+                                     best[0] if best else np.inf)
                 if better(t):
                     p = o + t * d
                     outward = (p - c) / r
@@ -88,10 +121,19 @@ class Oracle:
                 if d[ax] == 0:
                     continue
                 t = (s.rects.k[i] - o[ax]) / d[ax]
-                if t < t_min or not np.isfinite(t):
+                if not np.isfinite(t):
+                    continue
+                self._edge(t, t_min, 1.0 + abs(t))
+                if t < t_min:
                     continue
                 av = o[a_ax] + t * d[a_ax]
                 bv = o[b_ax] + t * d[b_ax]
+                sa = s.rects.a1[i] - s.rects.a0[i]
+                sb = s.rects.b1[i] - s.rects.b0[i]
+                self._edge(av, s.rects.a0[i], sa)
+                self._edge(av, s.rects.a1[i], sa)
+                self._edge(bv, s.rects.b0[i], sb)
+                self._edge(bv, s.rects.b1[i], sb)
                 if av < s.rects.a0[i] or av > s.rects.a1[i]:
                     continue
                 if bv < s.rects.b0[i] or bv > s.rects.b1[i]:
@@ -117,6 +159,10 @@ class Oracle:
                 u = (ac @ aoxd) / det
                 v = -(ab @ aoxd) / det
                 t = (ao @ n) / det
+                self._edge(t, t_min, 1.0 + abs(t))
+                self._edge(u, 0.0)
+                self._edge(v, 0.0)
+                self._edge(u + v, 1.0)
                 if t < t_min or t < 0 or u < 0 or v < 0 or u + v > 1:
                     continue
                 if better(t):
@@ -145,6 +191,7 @@ class Oracle:
             half_b = oc @ dd
             cterm = oc @ oc - s.volumes.radius[i] ** 2
             disc = half_b * half_b - a * cterm
+            self._edge(disc, 0.0, half_b * half_b + abs(a * cterm))
             if disc <= 0:
                 return None
             sq = math.sqrt(disc)
@@ -155,9 +202,12 @@ class Oracle:
                 t1 = (s.volumes.bmax[i] - oo) / dd
             near, far = np.minimum(t0, t1), np.maximum(t0, t1)
             enter, exit_ = np.max(near), np.min(far)
+            if np.isfinite(enter) and np.isfinite(exit_):
+                self._edge(enter, exit_, 1.0 + abs(enter))
             if not enter < exit_:
                 return None
         t1c = max(enter, self.cfg.t_min)
+        self._edge(t1c, exit_, 1.0 + abs(exit_))
         if not t1c < exit_:
             return None
         t1c = max(t1c, 0.0)
@@ -168,6 +218,7 @@ class Oracle:
         u = min(max(u, 1e-12), 1.0)
         logu = math.log10(u) if self.cfg.use_log10_volume_sampling else math.log(u)
         hit_distance = float(s.volumes.neg_inv_density[i]) * logu
+        self._edge(hit_distance, dist_inside, 1.0 + abs(dist_inside))
         if hit_distance > dist_inside:
             return None
         t = t1c + hit_distance / ray_len
@@ -185,6 +236,7 @@ class Oracle:
         if tt == TX.CHECKER:
             f = s.textures.scale[tid]
             sines = math.sin(f * p[0]) * math.sin(f * p[1]) * math.sin(f * p[2])
+            self._edge(sines, 0.0)
             return (s.textures.color2[tid] if sines < 0 else s.textures.color1[tid]).copy()
         if tt == TX.NOISE:
             from raytracer_weekend_tpu import perlin
@@ -200,6 +252,9 @@ class Oracle:
             h, w = s.textures.image_hw[img_id]
             uc = min(max(u, 0.0), 1.0)
             vc = 1.0 - min(max(v, 0.0), 1.0)
+            # nearest-texel fetch is discontinuous at texel borders
+            self._edge(uc * w, round(uc * w))
+            self._edge(vc * h, round(vc * h))
             i = min(int(uc * w), w - 1)
             j = min(int(vc * h), h - 1)
             return s.textures.images[img_id, j, i].copy()
@@ -216,7 +271,9 @@ class Oracle:
         if rec is None:
             return np.asarray(self.s.background, np.float64).copy()
         t, (p, outward, u, v, mat_id, is_vol) = rec
-        front = bool(np.dot(d, outward) < 0.0) or is_vol
+        dn = float(np.dot(d, outward))
+        self._edge(dn, 0.0, np.linalg.norm(d) * np.linalg.norm(outward))
+        front = bool(dn < 0.0) or is_vol
         normal = outward if front else -outward
 
         s = self.s
@@ -231,6 +288,7 @@ class Oracle:
             ul = _rand4(seed, ray_id, depth_idx, rt_rng.SALT_LAMBERTIAN)
             uv_ = np.asarray(rt_rng.unit_vector_from_uniforms(ul[0], ul[1]))
             nd = normal + uv_
+            self._edge(float(np.abs(nd).max()), 1e-8)
             if np.all(np.abs(nd) < 1e-8):
                 nd = normal
             att = tex
@@ -240,6 +298,7 @@ class Oracle:
                 rt_rng.in_unit_sphere_from_uniforms(um[0], um[1], um[2]))
             ud = _unit(d)
             nd = ud - 2 * (ud @ normal) * normal + s.materials.fuzz[mat_id] * ball
+            self._edge(float(nd @ normal), 0.0, np.linalg.norm(nd))
             if nd @ normal <= 0:
                 return emitted
             att = tex
@@ -252,6 +311,8 @@ class Oracle:
             sin_t = math.sqrt(max(0.0, 1 - cos_t * cos_t))
             r0 = ((1 - ratio) / (1 + ratio)) ** 2
             refl = r0 + (1 - r0) * (1 - cos_t) ** 5
+            self._edge(ratio * sin_t, 1.0)
+            self._edge(refl, urand)
             if ratio * sin_t > 1.0 or refl > urand:
                 nd = ud - 2 * (ud @ normal) * normal
             else:
@@ -271,13 +332,21 @@ class Oracle:
                                     ray_id, depth_budget - 1, depth_idx + 1)
         return emitted + att * rec_color
 
-    def render(self, cam, cfg, seed=None):
-        """Full scalar render -> (H,W,3) color sums, mirroring render_image."""
+    def render(self, cam, cfg, seed=None, return_fragile=False):
+        """Full scalar render -> (H,W,3) color sums, mirroring render_image.
+
+        With return_fragile=True also returns an (H,W) bool mask of pixels
+        whose paths crossed a knife-edge decision (within _EDGE of a
+        discrete threshold in f64): on those, the f32 renderer may follow a
+        different — equally valid — path, so per-channel comparison is
+        meaningless. Robust pixels must match tightly.
+        """
         from raytracer_weekend_tpu.camera import get_rays
         import jax.numpy as jnp
 
         seed = np.uint32(cfg.seed if seed is None else seed)
         img = np.zeros((cfg.height, cfg.width, 3))
+        frag = np.zeros((cfg.height, cfg.width), bool)
         for lane in range(cfg.n_rays):
             pix = lane // cfg.samples_per_pixel
             col = pix % cfg.width
@@ -288,10 +357,14 @@ class Oracle:
             v = (row + uj[1]) / (cfg.height - 1)
             o, d, t = get_rays(cam, jnp.float32(u), jnp.float32(v), seed,
                                jnp.uint32(lane))
+            self.fragile = False
             color = self.sample_ray(np.asarray(o, np.float64),
                                     np.asarray(d, np.float64), float(t),
                                     seed, lane, cfg.max_depth)
             img[row_top, col] += color
+            frag[row_top, col] |= self.fragile
+        if return_fragile:
+            return img, frag
         return img
 
 

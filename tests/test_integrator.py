@@ -120,11 +120,19 @@ def test_wavefront_matches_scalar_oracle(scene_kind):
     cfg = RenderConfig(width=6, height=3, samples_per_pixel=2, max_depth=4,
                        seed=11)
     got = np.asarray(integrator.render_image(scene, static, cfg, cam))
-    expect = Oracle(scene, static, cfg).render(cam, cfg)
-    # Identical RNG -> lane-exact paths except for rare f32/f64 knife edges.
-    close = np.isclose(got, expect, rtol=2e-3, atol=2e-3)
+    expect, fragile = Oracle(scene, static, cfg).render(cam, cfg,
+                                                       return_fragile=True)
+    # Identical RNG -> lane-exact paths, EXCEPT where the f64 oracle flags
+    # a knife-edge decision (within 3e-4 of a discrete threshold): there
+    # the f32 renderer may follow the other, equally valid branch. Robust
+    # pixels must match tightly; fragile ones are excluded but bounded.
+    robust = ~fragile
+    assert robust.mean() > 0.5, f"too many fragile pixels ({fragile.mean():.2f})"
+    close = np.isclose(got[robust], expect[robust], rtol=1e-3, atol=1e-3)
     frac = close.mean()
-    assert frac > 0.93, f"only {frac:.3f} of channels match the oracle"
+    assert frac >= 0.995, (
+        f"only {frac:.4f} of robust channels match the oracle "
+        f"({int(robust.sum())} robust / {fragile.size} pixels)")
 
 
 def test_deterministic_across_chunking():

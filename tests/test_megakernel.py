@@ -167,7 +167,11 @@ def test_chunked_planar_equals_unchunked():
     chunked, sc = render_fused(scene, cfg, cam, 0, n, seed_u,
                                interpret=True, static=static,
                                r_chunk_override=128)
-    np.testing.assert_array_equal(np.asarray(whole), np.asarray(chunked))
+    # Near-exact, not bit-exact: in-kernel chunk AABB culling legitimately
+    # skips the blend arithmetic for pruned chunks, which can move a
+    # tie-adjacent lane by 1 ULP (both paths match the staged oracle).
+    np.testing.assert_allclose(np.asarray(whole), np.asarray(chunked),
+                               rtol=0.0, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(sw), np.asarray(sc))
 
 
