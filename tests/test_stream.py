@@ -76,3 +76,38 @@ def test_stream_render_matches_direct():
     assert rx.done
     assert rx.pixels_received == cfg.n_pixels
     np.testing.assert_allclose(rx.image, direct, rtol=1e-6)
+
+
+def test_live_view_tool(tmp_path):
+    # Runnable receiver (live_view.py): tails a stream file and rewrites a
+    # PNG — the working twin of the GUI receiver's rx loop
+    # (discovery_host_receiver_gui/src/main.rs:50-145).
+    from raytracer_weekend_tpu.utils import live_view
+    from raytracer_weekend_tpu.utils.image import tone_map
+
+    msgs = (b"\x00\x00\x00\x00"
+            + S.encode_message(S.ImageStart(4, 2, 1))
+            + b"\x05junk\x00"
+            + b"".join(S.encode_message(S.Pixel(r, c, (0.1 * (r + 1),
+                                                       0.2, 0.5 * (c + 1))))
+                       for r in range(2) for c in range(4))
+            + S.encode_message(S.ImageEnd()))
+    src = tmp_path / "render.stream"
+    src.write_bytes(msgs)
+    out = tmp_path / "live.png"
+
+    rx = live_view.run(str(src), str(out), follow=False, once=True,
+                       quiet=True)
+    assert rx.done and rx.pixels_received == 8 and rx.errors >= 1
+    assert out.exists() and out.stat().st_size > 0
+
+    # PNG content = tone-mapped accumulator, same map as cli.py output.
+    from PIL import Image
+    got = np.asarray(Image.open(out).convert("RGB"))
+    np.testing.assert_array_equal(got, tone_map(rx.image, rx.spp))
+
+    # main() drives the same path
+    out2 = tmp_path / "live2.png"
+    assert live_view.main([str(src), "-o", str(out2), "--no-follow",
+                           "--once"]) == 0
+    assert out2.exists()
