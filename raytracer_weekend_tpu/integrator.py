@@ -86,10 +86,11 @@ def _closest_hit(scene: SceneData, static: SceneStatic, o, d, time,
         cfg.use_pallas == "auto" and jax.default_backend() != "cpu")
     use_sphere_pallas = pallas_on and static.n_spheres <= 8192
     use_tri_pallas = pallas_on and static.n_triangles <= 16384
-    use_sphere_bvh = (static.sphere_bvh and geom_axis is None
-                      and not use_sphere_pallas)
-    use_tri_bvh = (static.triangle_bvh and geom_axis is None
-                   and not use_tri_pallas)
+    # BVHs work on the geometry-sharded path too: shard.pad_scene_for_geom
+    # rebuilds one local tree per shard, so scene.sphere_bvh here is always
+    # consistent with the (possibly sliced) table alongside it.
+    use_sphere_bvh = static.sphere_bvh and not use_sphere_pallas
+    use_tri_bvh = static.triangle_bvh and not use_tri_pallas
 
     if static.n_spheres:
         if use_sphere_pallas:

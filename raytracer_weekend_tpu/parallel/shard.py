@@ -68,13 +68,65 @@ def pad_scene_for_geom(scene: SceneData, n_geom: int) -> SceneData:
     ])
     # Padded degenerate triangles (all-zero vertices) have zero-normal; the
     # hit kernel's det==0 guard plus valid=False rejects them.
-    return scene._replace(spheres=sp, triangles=tr)
+    scene = scene._replace(spheres=sp, triangles=tr)
+
+    # Per-shard BVHs: a global tree indexes global rows, but each geometry
+    # shard traverses against its LOCAL table slice — so rebuild one tree
+    # per shard (local prim indices; `consider(sharded=True)` globalizes
+    # the winner), pad every tree to a common node count with never-hit
+    # nodes, and stack along axis 0 so the geom PartitionSpec slices out
+    # exactly one tree per device. Replaces the round-1 behavior of falling
+    # back to brute force under geometry sharding (bvh.rs:101-120 parity
+    # now holds on every path).
+    if scene.sphere_bvh is not None or scene.triangle_bvh is not None:
+        from raytracer_weekend_tpu.scene.builder import _Compiler
+        if scene.sphere_bvh is not None:
+            scene = scene._replace(sphere_bvh=_stacked_shard_bvhs(
+                _Compiler._build_sphere_bvh, sp, n_geom))
+        if scene.triangle_bvh is not None:
+            scene = scene._replace(triangle_bvh=_stacked_shard_bvhs(
+                _Compiler._build_triangle_bvh, tr, n_geom))
+    return scene
+
+
+def _stacked_shard_bvhs(build_fn, table, n_geom: int):
+    """Build one BVH per geom shard of `table`, pad to a common node count,
+    and concatenate -> Bvh arrays of leading dim n_geom * M_max."""
+    from raytracer_weekend_tpu.ops.bvh import Bvh
+
+    rows = np.asarray(table[0]).shape[0] // n_geom
+    parts = []
+    for g in range(n_geom):
+        sl = type(table)(*[np.asarray(f)[g * rows:(g + 1) * rows]
+                           for f in table])
+        parts.append(build_fn(sl))
+    m_max = max(int(p.prim.shape[0]) for p in parts)
+
+    def pad(b: "Bvh") -> "Bvh":
+        m = int(b.prim.shape[0])
+        if m == m_max:
+            return b
+        # Padding nodes: empty box (min > max) never passes the slab test,
+        # so the cursor falls through skip straight to the end.
+        extra = m_max - m
+        return Bvh(
+            jnp.concatenate([b.bmin, jnp.full((extra, 3), jnp.inf)], 0),
+            jnp.concatenate([b.bmax, jnp.full((extra, 3), -jnp.inf)], 0),
+            jnp.concatenate([b.prim, jnp.full((extra,), -1, jnp.int32)], 0),
+            jnp.concatenate([b.skip, jnp.full((extra,), m_max, jnp.int32)],
+                            0),
+        )
+
+    parts = [pad(p) for p in parts]
+    return Bvh(*[jnp.concatenate([getattr(p, f) for p in parts], axis=0)
+                 for f in Bvh._fields])
 
 
 def _scene_specs(rmesh: RenderMesh, scene: SceneData):
     """PartitionSpec pytree for SceneData: sphere/triangle tables shard over
     the geom axis (leading dim), everything else replicates. BVH fields
-    (if built) replicate — geometry sharding uses the brute-force path."""
+    (if built) are per-shard stacked trees (pad_scene_for_geom) and shard
+    over geom too."""
     import raytracer_weekend_tpu.scene.data as D
     from raytracer_weekend_tpu.materials import MaterialTable
     from raytracer_weekend_tpu.textures import TextureTable
@@ -87,7 +139,8 @@ def _scene_specs(rmesh: RenderMesh, scene: SceneData):
         return cls(*[spec for _ in cls._fields])
 
     def bvh_spec(b):
-        return None if b is None else Bvh(*[P() for _ in Bvh._fields])
+        spec = P(geom) if geom else P()
+        return None if b is None else Bvh(*[spec for _ in Bvh._fields])
 
     return SceneData(
         spheres=table_spec(D.Spheres, True),
