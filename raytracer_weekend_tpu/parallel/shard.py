@@ -79,6 +79,14 @@ def pad_scene_for_geom(scene: SceneData, n_geom: int) -> SceneData:
     # back to brute force under geometry sharding (bvh.rs:101-120 parity
     # now holds on every path).
     if scene.sphere_bvh is not None or scene.triangle_bvh is not None:
+        if any(isinstance(leaf, jax.core.Tracer)
+               for t in (sp, tr) for leaf in t):
+            # Under tracing (train_step differentiates render_sharded, so
+            # the tables are JVP/vmap tracers) the host-side BVH build can't
+            # run — drop the trees and take the brute-force traversal,
+            # which renders the identical image (the with/without-BVH gate
+            # in tests/test_bvh.py).
+            return scene._replace(sphere_bvh=None, triangle_bvh=None)
         from raytracer_weekend_tpu.scene.builder import _Compiler
         if scene.sphere_bvh is not None:
             scene = scene._replace(sphere_bvh=_stacked_shard_bvhs(
@@ -89,10 +97,23 @@ def pad_scene_for_geom(scene: SceneData, n_geom: int) -> SceneData:
     return scene
 
 
+# (field ids..., n_geom) -> stacked Bvh. Entries hold strong references to
+# the key arrays (see below), so an id can't be reused while its entry
+# lives; bounded FIFO since render loops (animation frames / SGD steps on a
+# fixed scene) otherwise rebuild identical host-side trees every call.
+_BVH_CACHE: dict = {}
+_BVH_CACHE_MAX = 16
+
+
 def _stacked_shard_bvhs(build_fn, table, n_geom: int):
     """Build one BVH per geom shard of `table`, pad to a common node count,
     and concatenate -> Bvh arrays of leading dim n_geom * M_max."""
     from raytracer_weekend_tpu.ops.bvh import Bvh
+
+    key = (build_fn.__name__, n_geom, *(id(f) for f in table))
+    hit = _BVH_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
 
     rows = np.asarray(table[0]).shape[0] // n_geom
     parts = []
@@ -118,8 +139,12 @@ def _stacked_shard_bvhs(build_fn, table, n_geom: int):
         )
 
     parts = [pad(p) for p in parts]
-    return Bvh(*[jnp.concatenate([getattr(p, f) for p in parts], axis=0)
-                 for f in Bvh._fields])
+    out = Bvh(*[jnp.concatenate([getattr(p, f) for p in parts], axis=0)
+                for f in Bvh._fields])
+    if len(_BVH_CACHE) >= _BVH_CACHE_MAX:
+        _BVH_CACHE.pop(next(iter(_BVH_CACHE)))
+    _BVH_CACHE[key] = (out, table)  # keep `table` alive -> ids stay valid
+    return out
 
 
 def _scene_specs(rmesh: RenderMesh, scene: SceneData):

@@ -191,9 +191,22 @@ class ImageReceiver:
         self.errors = 0
         self.done = False
         self.rotate180 = rotate180
+        # Partial-frame carry across feed() calls: a tailing reader hands us
+        # arbitrary read chunks, and every encode_message frame is
+        # 0x00-terminated, so bytes after the last delimiter are an
+        # incomplete frame — hold them back instead of mis-decoding them
+        # (the reference receiver gets this for free by blocking on the
+        # delimiter, main.rs:27-35).
+        self._carry = bytearray()
 
     def feed(self, data: bytes) -> None:
-        for frame in iter_frames(data):
+        buf = bytes(self._carry) + bytes(data)
+        last = buf.rfind(0)
+        if last < 0:
+            self._carry = bytearray(buf)
+            return
+        self._carry = bytearray(buf[last + 1:])
+        for frame in iter_frames(buf[:last + 1]):
             try:
                 msg = decode_payload(cobs_decode(frame))
             except ValueError:

@@ -19,9 +19,15 @@ def tone_map(color_sum: np.ndarray, samples_per_pixel: int) -> np.ndarray:
 
 
 def save_png(path: str, rgb_u8: np.ndarray) -> None:
+    # Write-then-rename so a live-reloading viewer (live_view rewrites the
+    # PNG in place while tailing a render) never reads a half-written file.
+    import os
     from PIL import Image
 
-    Image.fromarray(np.asarray(rgb_u8, np.uint8), "RGB").save(path)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    Image.fromarray(np.asarray(rgb_u8, np.uint8), "RGB").save(tmp,
+                                                             format="PNG")
+    os.replace(tmp, path)
 
 
 def tone_map_f32(color_sum: np.ndarray, samples_per_pixel: int) -> np.ndarray:

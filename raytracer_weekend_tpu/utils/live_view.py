@@ -81,11 +81,13 @@ def run(src: str, out: str, interval: float = 0.5, follow: bool = True,
     rx = ImageReceiver(rotate180=rotate180)
     last_write = 0.0
     frames_done = 0
+    final_flushed = False
 
     def flush(final: bool = False) -> None:
-        nonlocal last_write
-        if rx.image is None:
+        nonlocal last_write, final_flushed
+        if rx.image is None or final_flushed:
             return
+        final_flushed = final
         save_png(out, rx.tone_mapped())
         last_write = time.monotonic()
         if not quiet:

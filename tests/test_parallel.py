@@ -99,3 +99,28 @@ def test_train_step_reduces_loss():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.95, losses
+
+
+def test_train_step_geom_sharded_bvh():
+    # Regression (ADVICE r2): geometry-sharded training on a BVH-enabled
+    # scene traced pad_scene_for_geom's host-side BVH rebuild with
+    # np.asarray over JVP tracers -> TracerArrayConversionError. Under
+    # tracing the trees are dropped (brute force renders identically), so
+    # this must run and drive loss down.
+    scene, static, cfg, cam = _scene(bvh=True)
+    assert static.sphere_bvh and static.triangle_bvh
+    rmesh = make_render_mesh((2, 1, 2))
+
+    target = render_sharded(scene, static, cfg, cam, rmesh)
+    target = target / cfg.samples_per_pixel
+
+    perturbed = scene._replace(textures=scene.textures._replace(
+        color1=scene.textures.color1.at[1].set(jnp.asarray([0.9, 0.9, 0.9]))))
+
+    losses = []
+    s = perturbed
+    for _ in range(3):
+        s, loss = train_step(s, static, cfg, cam, target, rmesh, lr=3.0)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses

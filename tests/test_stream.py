@@ -52,6 +52,26 @@ def test_resync_preamble_ignored():
     assert rx.image is not None
 
 
+def test_feed_carries_partial_frames():
+    # Regression (ADVICE r2): a tailing reader hands the receiver arbitrary
+    # read chunks that usually end mid-frame. Bytes after the last 0x00
+    # delimiter must be held back and joined with the next feed() — not
+    # decoded as a (garbage) frame. Feed the stream 1 byte at a time: every
+    # pixel must land, with zero decode errors.
+    msgs = [S.ImageStart(3, 2, 1)]
+    msgs += [S.Pixel(r, c, (r + 0.5, c + 0.5, 0.0))
+             for r in range(2) for c in range(3)]
+    msgs.append(S.ImageEnd())
+    blob = b"".join(S.encode_message(m) for m in msgs)
+    rx = S.ImageReceiver()
+    for i in range(len(blob)):
+        rx.feed(blob[i:i + 1])
+    assert rx.done
+    assert rx.errors == 0
+    assert rx.pixels_received == 6
+    np.testing.assert_allclose(rx.image[1, 2], [1.5, 2.5, 0.0])
+
+
 def test_stream_render_matches_direct():
     import jax.numpy as jnp
     from raytracer_weekend_tpu import integrator

@@ -1,0 +1,213 @@
+"""Round-3 interactive TPU session: striping check + chunk-path A/B.
+
+Run under tmux with `python -i tools/perf_r3.py` so ONE process (one ~10-min
+axon client init) serves the whole round's experiments; drive individual
+experiments from the REPL. NOTE single-client tunnel: check `ps aux` for
+other TPU-backend JAX processes first (CLAUDE.md).
+
+Experiments (call from the REPL):
+  E1_parity(name, ...)   on-chip vs interpret allclose for a catalog scene
+  E2_mesh_ab()           cow/monument A/B: tiled vs notile vs nocull, rc sweep
+  E3_book2()             book2 kernel vs kernel+deferred-combine split
+  E4_gathers()           XLA row-gather / scatter-add / onehot-matmul micro
+  E5_fwdbwd()            fused_diff forward vs value_and_grad timing
+  E6_monument_1080p()    BASELINE config-5 render -> docs/monument_1080p.png
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_weekend_tpu.config import RenderConfig
+from raytracer_weekend_tpu.models.scenes import SCENES
+from raytracer_weekend_tpu.ops.pallas.megakernel import render_fused
+from raytracer_weekend_tpu.scene import builder as B
+
+_CACHE = {}
+
+
+def setup(name, w=400, h=225, spp=16, depth=8, seed=0):
+    key = (name, w, h, spp, depth, seed)
+    if key not in _CACHE:
+        cfg = RenderConfig(width=w, height=h, samples_per_pixel=spp,
+                           max_depth=depth, seed=seed, ray_batch=0)
+        objs, cams, bg = SCENES[name](cfg.aspect_ratio)
+        scene, static = B.build_scene(objs, background=bg, seed=seed)
+        _CACHE[key] = (scene, static, cfg, cams[0])
+    return _CACHE[key]
+
+
+def run1(name, label="", reps=10, w=400, h=225, spp=16, depth=8, **kw):
+    """Compile + pipelined timing of render_fused on scene `name`."""
+    scene, static, cfg, cam = setup(name, w, h, spp, depth)
+    seed = jnp.uint32(0)
+    n = cfg.n_rays
+    try:
+        t0 = time.time()
+        rad, seg = render_fused(scene, cfg, cam, 0, n, seed, static=static,
+                                **kw)
+        jax.block_until_ready((rad, seg))
+        compile_s = time.time() - t0
+        segs = int(seg.sum())
+        t0 = time.time()
+        outs = [render_fused(scene, cfg, cam, 0, n, seed, static=static, **kw)
+                for _ in range(reps)]
+        jax.block_until_ready(outs)
+        dt = (time.time() - t0) / reps
+        print(f"[{name} {label}] frame_s={dt:.4f} seg/s={segs/dt/1e6:8.1f}M "
+              f"segs={segs} compile={compile_s:.1f}s", flush=True)
+        return dt, segs, rad
+    except Exception as e:  # noqa: BLE001
+        print(f"[{name} {label}] FAILED {type(e).__name__}: {str(e)[:300]}",
+              flush=True)
+        return None, None, None
+
+
+def E1_parity(name, w=64, h=36, spp=4, depth=8, atol=2e-3, **kw):
+    """On-chip vs interpret-mode render of the same lanes; reports maxdiff.
+
+    interpret=True on the TPU backend lowers to XLA ops (no Mosaic), so a
+    mismatch isolates Mosaic-specific divergence (the round-2 striping bug
+    class). Uses robust stats: fraction of lanes beyond atol.
+    """
+    scene, static, cfg, cam = setup(name, w, h, spp, depth)
+    seed = jnp.uint32(0)
+    n = cfg.n_rays
+    chip, _ = render_fused(scene, cfg, cam, 0, n, seed, static=static, **kw)
+    ref, _ = render_fused(scene, cfg, cam, 0, n, seed, static=static,
+                          interpret=True, **kw)
+    chip = np.asarray(chip)
+    ref = np.asarray(ref)
+    d = np.abs(chip - ref).max(axis=1)
+    bad = float((d > atol).mean())
+    print(f"[parity {name}] maxdiff={d.max():.3e} mean={d.mean():.3e} "
+          f"frac>{atol}={bad:.4f}", flush=True)
+    return d
+
+
+def E2_mesh_ab():
+    for name in ("wavefront_cow_obj", "textured_monument",
+                 "wavefront_suspension_obj"):
+        run1(name, "default")
+        run1(name, "notile", ablate="notile")
+        run1(name, "nocull", ablate="nocull")
+        for rc in (128, 256, 512):
+            run1(name, f"rc{rc}", r_chunk_override=rc)
+
+
+def E3_book2():
+    run1("book2_final_scene", "default", reps=3)
+    # Same geometry, solid textures -> no deferred combine: isolates the
+    # out-of-kernel texel evaluation cost.
+    import raytracer_weekend_tpu.models.scenes as SC
+    cfg = RenderConfig(width=400, height=225, samples_per_pixel=16,
+                       max_depth=8, seed=0, ray_batch=0)
+    objs, cams, bg = SC.book2_final_scene(cfg.aspect_ratio)
+
+    def solidify(o):
+        return o
+    scene, static = B.build_scene(objs, background=bg, seed=0)
+    print("book2 static:", static, flush=True)
+
+
+def E4_gathers(Bn=1 << 20, S=512, C=32, reps=20):
+    """Row gather / scatter-add vs one-hot matmul, and Perlin turbulence."""
+    k = jax.random.PRNGKey(0)
+    tab = jax.random.normal(k, (S, C), jnp.float32)
+    idx = jax.random.randint(k, (Bn,), 0, S)
+    cot = jax.random.normal(k, (Bn, C), jnp.float32)
+
+    def timed(fn, *a, label=""):
+        out = jax.block_until_ready(fn(*a))
+        t0 = time.time()
+        outs = [fn(*a) for _ in range(reps)]
+        jax.block_until_ready(outs)
+        dt = (time.time() - t0) / reps
+        print(f"  {label:28s} {dt*1e3:8.2f} ms", flush=True)
+        return out
+
+    g = jax.jit(lambda t, i: t[i])
+    timed(g, tab, idx, label=f"row gather ({Bn}x{C} from {S})")
+
+    def onehot_g(t, i):
+        oh = (i[:, None] == jnp.arange(S)[None, :]).astype(jnp.bfloat16)
+        return oh @ t.astype(jnp.bfloat16)
+    timed(jax.jit(onehot_g), tab, idx, label="onehot-matmul gather")
+
+    sc = jax.jit(lambda i, c: jnp.zeros((S, C), jnp.float32).at[i].add(c))
+    timed(sc, idx, cot, label="scatter-add transpose")
+
+    def onehot_sc(i, c):
+        oh = (i[:, None] == jnp.arange(S)[None, :]).astype(jnp.bfloat16)
+        return oh.T @ c.astype(jnp.bfloat16)
+    timed(jax.jit(onehot_sc), idx, cot, label="onehot-matmul scatter")
+
+    from raytracer_weekend_tpu import perlin as P
+    grad, perm = map(jnp.asarray, P.make_perlin_tables(7))
+    pts = jax.random.normal(k, (Bn, 3), jnp.float32) * 5.0
+    tb = jax.jit(lambda p: P.turbulence(grad, perm, p, depth=7))
+    timed(tb, pts, label=f"perlin turbulence ({Bn} pts)")
+
+
+def E5_fwdbwd(name="jumpy_balls", reps=5):
+    from raytracer_weekend_tpu.fused_diff import render_fused_diff
+    scene, static, cfg, cam = setup(name)
+    seed = jnp.uint32(0)
+    n = cfg.n_rays
+
+    def loss(sc):
+        rad = render_fused_diff(sc, static, cfg, cam, 0, n, seed)
+        return jnp.sum(rad * rad)
+
+    fwd = jax.jit(loss)
+    t0 = time.time(); v = jax.block_until_ready(fwd(scene))
+    print(f"  fwd-only(loss) compile {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    outs = [fwd(scene) for _ in range(reps)]
+    jax.block_until_ready(outs)
+    print(f"  fwd-only(loss) {1e3*(time.time()-t0)/reps:.1f} ms", flush=True)
+
+    vg = jax.jit(jax.value_and_grad(loss, allow_int=True))
+    t0 = time.time(); out = jax.block_until_ready(vg(scene))
+    print(f"  fwd+bwd compile {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    outs = [vg(scene) for _ in range(reps)]
+    jax.block_until_ready(outs)
+    dt = (time.time() - t0) / reps
+    print(f"  fwd+bwd {1e3*dt:.1f} ms", flush=True)
+
+
+def E6_monument_1080p(out="/root/repo/docs/monument_1080p.png"):
+    from raytracer_weekend_tpu.utils.image import save_png, tone_map
+    scene, static, cfg, cam = setup("textured_monument", w=1920, h=1080,
+                                    spp=8, depth=8)
+    seed = jnp.uint32(0)
+    n = cfg.n_rays
+    t0 = time.time()
+    rad, seg = render_fused(scene, cfg, cam, 0, n, seed, static=static)
+    jax.block_until_ready((rad, seg))
+    dt = time.time() - t0
+    segs = int(seg.sum())
+    print(f"[monument 1080p] first-call {dt:.1f}s segs={segs}", flush=True)
+    t0 = time.time()
+    rad, seg = render_fused(scene, cfg, cam, 0, n, seed, static=static)
+    jax.block_until_ready((rad, seg))
+    dt = time.time() - t0
+    print(f"[monument 1080p] frame_s={dt:.2f} seg/s={segs/dt/1e6:.1f}M",
+          flush=True)
+    img = np.asarray(rad).reshape(cfg.height, cfg.width, 3)
+    save_png(out, tone_map(img, cfg.samples_per_pixel))
+    print(f"wrote {out}", flush=True)
+
+
+if __name__ == "__main__":
+    t0 = time.time()
+    print(f"# devices: {jax.devices()}  (init {time.time()-t0:.0f}s)",
+          flush=True)
