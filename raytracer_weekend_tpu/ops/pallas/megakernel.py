@@ -214,7 +214,8 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
             t_min: float, tile_b: int, r_pad: int = 0, r_chunk: int = 0,
             has_sph: bool = True, has_planar: bool = False,
             n_vol: int = 0, ablate: str = "",
-            defer_tex: bool = False, emit_paths: bool = False):
+            defer_tex: bool = False, emit_paths: bool = False,
+            primary_clist: bool = False):
     f = jnp.float32
     L = tile_b // 8  # per-ray state is (8, L): full VPU sublane utilization
     assert not (ablate and (defer_tex or emit_paths))
@@ -226,6 +227,12 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
     if has_planar:
         tab_pd_ref, tab_po_ref, tab_pg_ref, vab_ref = refs[i_ref:i_ref + 4]
         i_ref += 4
+        if primary_clist:
+            # (1, n_chunks) SMEM row for THIS tile: [count, chunk ids...] —
+            # the chunks (excluding the always-processed chunk 0) whose
+            # AABB overlaps the tile's primary-ray frustum (host prepass).
+            ctab_ref = refs[i_ref]
+            i_ref += 1
     if n_vol:
         vp_ref = refs[i_ref]
         i_ref += 1
@@ -449,80 +456,60 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                     p_c = u_c = v_c = None
                 return trn, p_c, u_c, v_c
 
-            def all_rows(pd8, po8, pg):
-                # (8, L) trn/u/v + per-row (PG, L) gathers for one chunk.
-                outs = [planar_chunk(pd8, po8, pg, s) for s in range(8)]
-                trn8 = _stack([o[0] for o in outs])
-                if "nogather" in ablate:
-                    return trn8, None, None, None
-                return (trn8, [o[1] for o in outs],
-                        _stack([o[2] for o in outs]),
-                        _stack([o[3] for o in outs]))
+            # Per-row chunk walks: one fori_loop per sublane row, ONE
+            # lax.cond per loop body. The round-3 restructure attempts that
+            # put several conds in one loop body (a chunk-level pre-skip
+            # cond nested over 8 per-row conds, or 8 flat per-row conds in
+            # one fori) both HANG the TPU compile helper (>15 min, killed;
+            # the single-cond variants compile in 9-21 s) — and the A/B
+            # showed cull RESOLUTION dominates branch count anyway
+            # (chunk-level-only cull: 10.0M seg/s on cow vs per-row 15.5M).
+            cull = "nocull" not in ablate
+            tr_rows, paramr_list, uw_rows, vw_rows = [], [], [], []
+            for s in range(8):
+                best = planar_chunk(tab_pd_ref[0:8, :], tab_po_ref[0:8, :],
+                                    tab_pg_ref[0:PG_ROWS, :], s)
+                # Chunk 0 statically (its outputs give the loop carries
+                # their concrete layouts); remaining chunks in a fori_loop
+                # with dynamic 8-aligned sublane slices, so the unrolled
+                # code size is O(1) in scene size (static unrolling of
+                # c >= ~5 chunk bodies crashes the compile helper —
+                # tools/perf_r2{d,e}.py).
+                if n_chunks > 1 and "nogather" not in ablate:
+                    # Per-chunk AABB cull (the megakernel's take on
+                    # bvh.rs:101-120): Morton-ordered chunks are spatially
+                    # compact, so a ~20-op (1, L) slab test on this row's
+                    # 128 rays skips the chunk body when no live ray can
+                    # improve in it. Block tiling (render_fused) makes the
+                    # row's rays a ~4x2-pixel bundle, tightening the test.
+                    ivx = 1.0 / dx[s:s + 1]
+                    ivy = 1.0 / dy[s:s + 1]
+                    ivz = 1.0 / dz[s:s + 1]
+                    oxr = ox[s:s + 1]
+                    oyr = oy[s:s + 1]
+                    ozr = oz[s:s + 1]
+                    alive_r = alive_m[s:s + 1]
 
-            # Chunk 0 statically (its outputs give the loop carries their
-            # concrete layouts); remaining chunks in a fori_loop with
-            # dynamic 8-aligned sublane slices, so the unrolled code size is
-            # O(1) in scene size. (Static unrolling of c chunk bodies
-            # crashes the TPU compile helper once c >= 8 at any grid, or
-            # c >= ~5 at frame-scale grids — bisected on-chip,
-            # tools/perf_r2{d,e}.py.)
-            best_trn8, best_p, best_u8, best_v8 = all_rows(
-                tab_pd_ref[0:8, :], tab_po_ref[0:8, :],
-                tab_pg_ref[0:PG_ROWS, :])
+                    def chunk_body(cK, carry, s=s, ivx=ivx, ivy=ivy,
+                                   ivz=ivz, oxr=oxr, oyr=oyr, ozr=ozr,
+                                   alive_r=alive_r):
+                        btrn, bp, bu, bv = carry
+                        if primary_clist:
+                            # Bounce 0 walks this tile's compacted chunk
+                            # list (primary frustum x chunk AABB, host
+                            # prepass); later bounces walk all chunks.
+                            cI = jnp.where(i == 0, ctab_ref[0, 0, 1 + cK],
+                                           cK + 1)
+                        else:
+                            cI = cK
 
-            if n_chunks > 1 and "nogather" not in ablate:
-                # Hierarchical per-chunk AABB culling (the megakernel's take
-                # on bvh.rs:101-120): Morton-ordered chunks are spatially
-                # compact, so a ~20-op (8, L) slab test prunes in two
-                # levels — skip the whole chunk when NO live ray in the
-                # tile can improve in it, else skip per sublane ROW (128
-                # rays). Round-3 A/B on cow showed cull resolution is worth
-                # more than branch count (chunk-only: 10.0M seg/s vs
-                # round-2's per-row 15.5M), while the chunk-level pre-skip
-                # still saves the 8 row tests on fully-missed chunks.
-                ivx = 1.0 / dx
-                ivy = 1.0 / dy
-                ivz = 1.0 / dz
-                cull = "nocull" not in ablate
-                # fori carry: per-row tuples, so row updates never
-                # re-concatenate the (8, L) planes inside the loop.
-                carry0 = tuple(
-                    (best_trn8[s:s + 1], best_p[s],
-                     best_u8[s:s + 1], best_v8[s:s + 1]) for s in range(8))
-
-                def chunk_body(cI, carry):
-                    bx0 = (vab_ref[cI, 0] - ox) * ivx
-                    bx1 = (vab_ref[cI, 3] - ox) * ivx
-                    by0 = (vab_ref[cI, 1] - oy) * ivy
-                    by1 = (vab_ref[cI, 4] - oy) * ivy
-                    bz0 = (vab_ref[cI, 2] - oz) * ivz
-                    bz1 = (vab_ref[cI, 5] - oz) * ivz
-                    en = jnp.maximum(jnp.maximum(jnp.minimum(bx0, bx1),
-                                                 jnp.minimum(by0, by1)),
-                                     jnp.minimum(bz0, bz1))
-                    ex = jnp.minimum(jnp.minimum(jnp.maximum(bx0, bx1),
-                                                 jnp.maximum(by0, by1)),
-                                     jnp.maximum(bz0, bz1))
-                    # Conservative: chunk can matter only for a live lane
-                    # whose ray crosses the box past t_min and before its
-                    # current best (-btrn; -(-BIG) if none).
-                    pre = (en <= ex) & (ex >= f(t_min)) & (alive_m > 0.0)
-                    row_any = []
-                    for s in range(8):
-                        may_s = (pre[s:s + 1] & (en[s:s + 1]
-                                                 < -carry[s][0]))
-                        row_any.append(
-                            jnp.max(jnp.where(may_s, f(1.0), f(0.0))))
-
-                    def heavy(carry):
-                        pd8 = tab_pd_ref[pl.ds(cI * 8, 8), :]
-                        po8 = tab_po_ref[pl.ds(cI * 8, 8), :]
-                        pg = tab_pg_ref[pl.ds(cI * PG_ROWS, PG_ROWS), :]
-
-                        def row_heavy(s, row_carry):
-                            btrn, bp, bu, bv = row_carry
-                            trn, p_c, u_c, v_c = planar_chunk(pd8, po8, pg,
-                                                              s)
+                        def row_heavy(carry):
+                            btrn, bp, bu, bv = carry
+                            trn, p_c, u_c, v_c = planar_chunk(
+                                tab_pd_ref[pl.ds(cI * 8, 8), :],
+                                tab_po_ref[pl.ds(cI * 8, 8), :],
+                                tab_pg_ref[pl.ds(cI * PG_ROWS, PG_ROWS), :],
+                                s)
                             b = jnp.where(trn > btrn, f(1.0), f(0.0))
                             # Exact select, NOT `bp + b*(p_c - bp)`: that
                             # form rounds twice (p_c - bp, then the add)
@@ -542,39 +529,55 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                                     bv * nb + v_c * b)
 
                         if not cull:
-                            return tuple(row_heavy(s, carry[s])
-                                         for s in range(8))
-                        return tuple(
-                            jax.lax.cond(row_any[s] > 0.0,
-                                         functools.partial(row_heavy, s),
-                                         lambda c: c, carry[s])
-                            for s in range(8))
+                            return row_heavy(carry)
+                        bx0 = (vab_ref[cI, 0] - oxr) * ivx
+                        bx1 = (vab_ref[cI, 3] - oxr) * ivx
+                        by0 = (vab_ref[cI, 1] - oyr) * ivy
+                        by1 = (vab_ref[cI, 4] - oyr) * ivy
+                        bz0 = (vab_ref[cI, 2] - ozr) * ivz
+                        bz1 = (vab_ref[cI, 5] - ozr) * ivz
+                        en = jnp.maximum(jnp.maximum(jnp.minimum(bx0, bx1),
+                                                     jnp.minimum(by0, by1)),
+                                         jnp.minimum(bz0, bz1))
+                        ex = jnp.minimum(jnp.minimum(jnp.maximum(bx0, bx1),
+                                                     jnp.maximum(by0, by1)),
+                                         jnp.maximum(bz0, bz1))
+                        # Conservative: chunk can matter only for a live
+                        # lane whose ray crosses the box past t_min and
+                        # before its current best (-btrn; -(-BIG) if none).
+                        may = ((en <= ex) & (ex >= f(t_min))
+                               & (alive_r > 0.0) & (en < -btrn))
+                        mayf = jnp.where(may, f(1.0), f(0.0))
+                        return jax.lax.cond(jnp.max(mayf) > 0.0, row_heavy,
+                                            lambda c: c, carry)
 
-                    if not cull:
-                        return heavy(carry)
-                    chunk_any = row_any[0]
-                    for s in range(1, 8):
-                        chunk_any = jnp.maximum(chunk_any, row_any[s])
-                    return jax.lax.cond(chunk_any > 0.0, heavy,
-                                        lambda c: c, carry)
+                    if primary_clist:
+                        count = jnp.where(i == 0, ctab_ref[0, 0, 0],
+                                          jnp.int32(n_chunks - 1))
+                        best = jax.lax.fori_loop(0, count, chunk_body, best)
+                    else:
+                        best = jax.lax.fori_loop(1, n_chunks, chunk_body,
+                                                 best)
+                elif n_chunks > 1:  # timing-ablation path: t-only carry
+                    def chunk_body_t(cI, btrn, s=s):
+                        trn, _, _, _ = planar_chunk(
+                            tab_pd_ref[pl.ds(cI * 8, 8), :],
+                            tab_po_ref[pl.ds(cI * 8, 8), :],
+                            tab_pg_ref[pl.ds(cI * PG_ROWS, PG_ROWS), :], s)
+                        return jnp.maximum(trn, btrn)
 
-                carry = jax.lax.fori_loop(1, n_chunks, chunk_body, carry0)
-                best_trn8 = _stack([c[0] for c in carry])
-                best_p = [c[1] for c in carry]
-                best_u8 = _stack([c[2] for c in carry])
-                best_v8 = _stack([c[3] for c in carry])
-            elif n_chunks > 1:  # timing-ablation path: t-only carry
-                def chunk_body_t(cI, btrn8):
-                    trn8, _, _, _ = all_rows(
-                        tab_pd_ref[pl.ds(cI * 8, 8), :],
-                        tab_po_ref[pl.ds(cI * 8, 8), :],
-                        tab_pg_ref[pl.ds(cI * PG_ROWS, PG_ROWS), :])
-                    return jnp.maximum(trn8, btrn8)
+                    best = (jax.lax.fori_loop(1, n_chunks, chunk_body_t,
+                                              best[0]), None, None, None)
+                tr_rows.append(best[0])
+                paramr_list.append(best[1])
+                uw_rows.append(best[2])
+                vw_rows.append(best[3])
 
-                best_trn8 = jax.lax.fori_loop(1, n_chunks, chunk_body_t,
-                                              best_trn8)
-            paramr_rows = best_p
-            uw8, vw8 = best_u8, best_v8
+            best_trn8 = _stack(tr_rows)
+            if "nogather" not in ablate:
+                paramr_rows = paramr_list
+                uw8 = _stack(uw_rows)
+                vw8 = _stack(vw_rows)
 
         if has_sph:
             tn_best = _stack(tn_rows)
@@ -1263,7 +1266,8 @@ def _pack_par(scene: SceneData, cam: Camera) -> Array:
 
 
 def _combine_deferred(scene: SceneData, ctb: Array, dfr: Array,
-                      *, has_noise: bool, has_image: bool) -> Array:
+                      *, has_noise: bool, has_image: bool,
+                      pallas_noise: bool = False) -> Array:
     """rad = sum_k c_k * prod_{j<=k} f_j  over deferred noise/image texels.
 
     The kernel shaded deferred texels as 1.0 and recorded (a, b, c, code)
@@ -1290,7 +1294,8 @@ def _combine_deferred(scene: SceneData, ctb: Array, dfr: Array,
         v = jnp.where(sphere_img, v_s, dfr[..., 1])
         f_rgb = tex_mod.texture_value(scene.textures, texid, u, v, abc,
                                       has_noise=has_noise,
-                                      has_image=has_image)
+                                      has_image=has_image,
+                                      pallas_noise=pallas_noise)
         f_rgb = jnp.where((absid > 0)[..., None], f_rgb, 1.0)
         return jnp.sum(ctb * jnp.cumprod(f_rgb, axis=1), axis=1)
 
@@ -1413,9 +1418,9 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         tab_pd, tab_po, tab_pg = _build_planar_tables(
             scene, r_pad, with_rects, with_tris, r_chunk)
         n_ch = r_pad // r_chunk
-        tabs += [tab_pd, tab_po, tab_pg,
-                 _planar_chunk_aabbs(scene, r_pad, r_chunk,
-                                     with_rects, with_tris)]
+        vab_arr = _planar_chunk_aabbs(scene, r_pad, r_chunk,
+                                      with_rects, with_tris)
+        tabs += [tab_pd, tab_po, tab_pg, vab_arr]
         tab_specs += [
             pl.BlockSpec((n_ch * 8, 3 * r_chunk), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1449,43 +1454,41 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     # through the permutation — the image is bitwise identical, tiles just
     # cover different pixels. Single-chunk scenes skip it: no cull to help,
     # and the sort + unscramble gather would be pure overhead.
+    # 2D block tiling applies on the full-frame call only (render_image
+    # single-chunk and 1-device shard both pass lane_start = 0 there); the
+    # chunked shard path keeps scanline order.
     n_chunks_st = (r_pad // r_chunk) if has_planar else 0
-    block_tiling = n_chunks_st > 1 and "notile" not in ablate
+    block_tiling = (n_chunks_st > 1 and "notile" not in ablate
+                    and n_chunk == cfg.n_rays)
     if block_tiling:
-        # Sort per-PIXEL Morton keys (b_pad/spp of them) and expand to the
-        # lane permutation arithmetically — a per-lane argsort measured
-        # ~35 ms/frame on v5e at 1.44M lanes, wiping out the cull win.
+        # The permutation depends only on static shape config, so build it
+        # in numpy at trace time — it enters the graph as a constant, and
+        # colrow/rid below are derived from it with elementwise ops.
+        # (Runtime variants measured on v5e at 1.44M lanes: per-lane
+        # argsort ~35 ms/frame, per-pixel sort + scatter/gather expansion
+        # ~80 ms — XLA TPU scatter/gather at million-scale costs tens of
+        # ms, wiping out the cull win. This version adds ~0 runtime.)
+        import numpy as _np
+
         spp_t = cfg.samples_per_pixel
-        ls = jnp.asarray(lane_start, jnp.int32)
-        p0 = ls // spp_t                       # first pixel in the window
-        m = (b_pad + 2 * spp_t - 2) // spp_t   # pixels touching the window
+        W, H = cfg.width, cfg.height
 
-        def _part1by1(x):  # 16-bit -> even bits of 32
-            x = x & 0xFFFF
-            x = (x | (x << 8)) & 0x00FF00FF
-            x = (x | (x << 4)) & 0x0F0F0F0F
-            x = (x | (x << 2)) & 0x33333333
-            return (x | (x << 1)) & 0x55555555
+        def _near_divisor(n, target):
+            divs = [d for d in range(1, n + 1) if n % d == 0]
+            return min(divs, key=lambda d: abs(d - target))
 
-        pix_w = p0 + jnp.arange(m, dtype=jnp.int32)
-        px = pix_w % cfg.width
-        py = pix_w // cfg.width
-        key = _part1by1(px) | (_part1by1(py) << 1)
-        # Window-relative lane span of each pixel, clipped to [0, b_pad).
-        lo = jnp.clip(pix_w * spp_t - ls, 0, b_pad)
-        hi = jnp.clip((pix_w + 1) * spp_t - ls, 0, b_pad)
-        sizes = hi - lo
-        order = jnp.argsort(jnp.where(sizes > 0, key, jnp.int32(2**30)),
-                            stable=True)       # empty span pixels last
-        offs = jnp.cumsum(sizes[order]) - sizes[order]  # exclusive, sorted
-        rank_of = jnp.zeros((m,), jnp.int32).at[order].set(
-            jnp.arange(m, dtype=jnp.int32))
-        # Lane j (window-relative) -> position offs[rank(pixel)] + intra.
-        j = jnp.arange(b_pad, dtype=jnp.int32)
-        pixrel = (ls + j) // spp_t - p0
-        pos = offs[rank_of[pixrel]] + (j - lo[pixrel])
-        perm = jnp.zeros((b_pad,), jnp.int32).at[pos].set(j)
-        lane = lane[perm]
+        bw = _near_divisor(W, 8)
+        bh = _near_divisor(H, 8)
+        pp = (_np.arange(H * W, dtype=_np.int64)
+              .reshape(H // bh, bh, W // bw, bw)
+              .transpose(0, 2, 1, 3).ravel())           # block-major pixels
+        perm_np = (pp[:, None] * spp_t
+                   + _np.arange(spp_t, dtype=_np.int64)[None, :]).ravel()
+        if b_pad > perm_np.size:                        # dead tail: identity
+            perm_np = _np.concatenate(
+                [perm_np, _np.arange(perm_np.size, b_pad)])
+        lane = (jnp.asarray(lane_start, jnp.int32)
+                + jnp.asarray(perm_np, jnp.int32))
 
     pix = lane // cfg.samples_per_pixel
     col_f = (pix % cfg.width).astype(jnp.float32)
@@ -1499,12 +1502,71 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     colrow = jnp.concatenate([_wide(col_f), _wide(row_f)], axis=0)  # (16, .)
     ridp = _wide(lane)                                   # (8, .) int32
 
+    # Primary-frustum chunk-list compaction: under block tiling each ray
+    # tile covers a STATIC pixel rectangle, so a host prepass intersects the
+    # tile's bounce-0 frustum (4 corner-ray planes through the camera
+    # origin, jitter-padded pixel rect, lens-radius margin) with every
+    # chunk AABB and hands the kernel a per-tile compacted chunk-id list
+    # for the primary bounce — most segments are primaries, and a 64-pixel
+    # tile typically sees 1-2 of the mesh's chunks. The in-kernel slab cull
+    # still prunes the remaining (secondary) full walks. Conservative by
+    # construction: planes pass through the origin with inward normals;
+    # any primary ray point satisfies dot(n, x - o) >= -lens_radius.
+    primary_clist = block_tiling and "noclist" not in ablate
+    if primary_clist:
+        spp_c = cfg.samples_per_pixel
+        W, H = cfg.width, cfg.height
+        tp = perm_np[:n_tiles * tile_b].reshape(n_tiles, tile_b) // spp_c
+        tp = _np.minimum(tp, cfg.n_pixels - 1)
+        tpx, tpy = tp % W, tp // W
+        s_lo = jnp.asarray(tpx.min(1) / (W - 1), jnp.float32)
+        s_hi = jnp.asarray((tpx.max(1) + 1) / (W - 1), jnp.float32)
+        t_lo = jnp.asarray((H - 1 - tpy.max(1)) / (H - 1), jnp.float32)
+        t_hi = jnp.asarray((H - tpy.min(1)) / (H - 1), jnp.float32)
+        base = (cam.lower_left - cam.origin)[None, :]
+
+        def _dirc(s, t):
+            return (base + s[:, None] * cam.horizontal[None, :]
+                    + t[:, None] * cam.vertical[None, :])
+
+        d00 = _dirc(s_lo, t_lo)
+        d10 = _dirc(s_hi, t_lo)
+        d11 = _dirc(s_hi, t_hi)
+        d01 = _dirc(s_lo, t_hi)
+        dc = d00 + d10 + d11 + d01
+        lo_c = vab_arr[:, 0:3]                       # (C, 3)
+        hi_c = vab_arr[:, 3:6]
+        ov = None
+        for da, db in ((d00, d10), (d10, d11), (d11, d01), (d01, d00)):
+            nrm = jnp.cross(da, db)                  # (T, 3)
+            nrm = nrm * jnp.sign(jnp.sum(nrm * dc, axis=1,
+                                         keepdims=True))
+            nn = jnp.linalg.norm(nrm, axis=1)
+            maxdot = sum(
+                jnp.maximum(nrm[:, j:j + 1] * lo_c[None, :, j],
+                            nrm[:, j:j + 1] * hi_c[None, :, j])
+                for j in range(3))                   # (T, C)
+            maxdot = maxdot - jnp.sum(nrm * cam.origin[None, :], axis=1,
+                                      keepdims=True)
+            margin = (cam.lens_radius + 1e-3) * nn + 1e-6
+            okp = (maxdot >= -margin[:, None]) | (nn < 1e-12)[:, None]
+            ov = okp if ov is None else (ov & okp)
+        ov = ov[:, 1:]                               # chunk 0 always runs
+        order = jnp.argsort(jnp.where(ov, 0, 1).astype(jnp.int32), axis=1,
+                            stable=True)
+        ctab = jnp.concatenate(
+            [jnp.sum(ov, axis=1, dtype=jnp.int32)[:, None],
+             (order + 1).astype(jnp.int32)], axis=1)[:, None, :]
+        # (T, 1, n_ch): SMEM blocks need the last two dims to equal the
+        # array dims, so the tile axis leads.
+
     kernel = functools.partial(
         _kernel, width=cfg.width, height=cfg.height,
         spp=cfg.samples_per_pixel, max_depth=cfg.max_depth,
         t_min=cfg.t_min, tile_b=tile_b, r_pad=r_pad, r_chunk=r_chunk,
         has_sph=has_sph, has_planar=has_planar, n_vol=n_vol, ablate=ablate,
-        defer_tex=defer_tex, emit_paths=emit_paths)
+        defer_tex=defer_tex, emit_paths=emit_paths,
+        primary_clist=primary_clist)
 
     D = cfg.max_depth
     out_specs = [
@@ -1539,7 +1601,18 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     slab_tiles = max(1, min(n_tiles, budget // (rows_out * lanes_l)))
     n_slabs = -(-n_tiles // slab_tiles)
 
-    def call_slab(colrow_k, rid_k, gk):
+    # ctab rides with the tile-indexed inputs (its block index is the tile
+    # id, which restarts at 0 per slab — so it is sliced per slab too).
+    ctab_pos = ((1 if has_sph else 0) + 4) if primary_clist else None
+
+    def call_slab(colrow_k, rid_k, ctab_k, gk):
+        tabs_k, specs_k = list(tabs), list(tab_specs)
+        if primary_clist:
+            n_ch_c = r_pad // r_chunk
+            tabs_k.insert(ctab_pos, ctab_k)
+            specs_k.insert(ctab_pos,
+                           pl.BlockSpec((1, 1, n_ch_c), lambda i: (i, 0, 0),
+                                        memory_space=pltpu.SMEM))
         return pl.pallas_call(
             kernel,
             grid=(gk,),
@@ -1550,7 +1623,7 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, lanes_l), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                *tab_specs,
+                *specs_k,
             ],
             out_specs=out_specs,
             out_shape=[jax.ShapeDtypeStruct((s.shape[0], gk * lanes_l),
@@ -1561,10 +1634,11 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
                 transcendentals=cfg.max_depth * (gk * tile_b) * 24,
             ),
             interpret=interpret,
-        )(par, ipar, colrow_k, rid_k, *tabs)
+        )(par, ipar, colrow_k, rid_k, *tabs_k)
 
     if n_slabs == 1:
-        rad, seg, *aux = call_slab(colrow, ridp, n_tiles)
+        rad, seg, *aux = call_slab(colrow, ridp,
+                                   ctab if primary_clist else None, n_tiles)
     else:
         outs = []
         for k in range(n_slabs):
@@ -1574,7 +1648,8 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
             # against the global window), so slabs just slice the planes.
             colrow_k = colrow[:, g0 * lanes_l:(g0 + gk) * lanes_l]
             rid_k = ridp[:, g0 * lanes_l:(g0 + gk) * lanes_l]
-            outs.append(call_slab(colrow_k, rid_k, gk))
+            ctab_k = ctab[g0:g0 + gk] if primary_clist else None
+            outs.append(call_slab(colrow_k, rid_k, ctab_k, gk))
         # Tiles are independent; concatenating slab outputs along the lane
         # axis reassembles the full (rows, n_tiles*L) planes in tile order.
         rad, seg, *aux = (jnp.concatenate(parts, axis=1)
@@ -1598,17 +1673,26 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         dfr = _unlane(aux[1], D, 4)
         rad = _combine_deferred(scene, ctb, dfr,
                                 has_noise=static.has_noise if static else True,
-                                has_image=static.has_image if static else True)
+                                has_image=static.has_image if static else True,
+                                pallas_noise=not interpret)
     if emit_paths:
         codes = _unlane(aux[-1], D)
     if block_tiling:
-        # inv[j] = kernel position of chunk-lane j; one scatter + gathers.
-        inv = jnp.zeros((b_pad,), jnp.int32).at[perm].set(
-            jnp.arange(b_pad, dtype=jnp.int32))
-        rad = rad[inv]
-        seg = seg[inv]
+        # Undo the block permutation with pure reshape/transpose (the
+        # block order is a transpose pattern, so no gather is needed).
+        def _untile(x):
+            chans = x.shape[1:]
+            body = x[:cfg.n_rays].reshape(
+                cfg.height // bh, cfg.width // bw, bh, bw,
+                cfg.samples_per_pixel, *chans)
+            body = body.transpose(0, 2, 1, 3,
+                                  *range(4, 5 + len(chans)))
+            return body.reshape(cfg.n_rays, *chans)
+
+        rad = _untile(rad)
+        seg = _untile(seg)
         if emit_paths:
-            codes = codes[inv]
+            codes = _untile(codes)
     if emit_paths:
         return rad[:n_chunk], seg[:n_chunk], codes[:n_chunk]
     return rad[:n_chunk], seg[:n_chunk]

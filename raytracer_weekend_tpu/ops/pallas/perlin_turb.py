@@ -1,0 +1,135 @@
+"""Pallas Perlin-turbulence kernel: table lookups as one-hot MXU matmuls.
+
+XLA's TPU gather executes at ~10 cycles per INDEX (scalar unit), and
+perlin.turbulence needs 7 octaves x (6 perm + 8 gradient) lookups per
+point — measured 2.03 s per 1M points on v5e (tools/perf_r3.E4), which made
+the deferred-texture combine ~95% of the book2_final_scene frame
+(BENCH_NOTES round 3). This kernel keeps the 256-entry tables VMEM-resident
+and performs every lookup as a one-hot (256, L) compare + a (1|3, 256) x
+(256, L) MXU matmul — no serial gathers, no HBM one-hot materialization.
+
+Semantics match perlin.turbulence / perlin.noise exactly (same lattice
+wrap, XOR hash, Hermite-before-weights reference quirk of perlin.rs:104-118,
+same corner summation order); results differ from the jnp path only by f32
+reassociation in the matmul-backed lookups (values are exact small ints, so
+in practice they are bit-equal; the blend arithmetic is kept in the same
+order as perlin.noise).
+
+Forward-only: autodiff paths (replay/_tex_value_packed) keep the jnp
+version, whose gathers XLA can differentiate.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TB = 1024           # points per tile
+_L = _TB // 8        # lanes; points live as (8, L) planes per coordinate
+_PC = 256            # Perlin table size
+
+
+def _kernel(pts_ref, permf_ref, gradt_ref, out_ref, *, depth: int):
+    f = jnp.float32
+    iota = jax.lax.broadcasted_iota(jnp.int32, (_PC, _L), 0)
+
+    def onehot(idx_i32):                      # (1, L) int32 -> (256, L) f32
+        return jnp.where(iota == idx_i32, f(1.0), f(0.0))
+
+    dn = (((1,), (0,)), ((), ()))             # contract the 256 axis
+
+    def lookup(row, oh):                      # (r, 256) x (256, L) -> (r, L)
+        return jax.lax.dot_general(row, oh, dn, preferred_element_type=f)
+
+    for s in range(8):
+        x = pts_ref[s:s + 1, :]
+        y = pts_ref[8 + s:9 + s, :]
+        z = pts_ref[16 + s:17 + s, :]
+        accum = x * 0.0
+
+        def octave(k, carry):
+            accum, xs, ys, zs, w = carry
+            axes = []
+            for c, prow in ((xs, permf_ref[0:1, :]),
+                            (ys, permf_ref[1:2, :]),
+                            (zs, permf_ref[2:3, :])):
+                pf = jnp.floor(c)
+                frac = c - pf
+                bi = pf.astype(jnp.int32)
+                i0 = bi & (_PC - 1)
+                i1 = (bi + 1) & (_PC - 1)
+                p0 = lookup(prow, onehot(i0)).astype(jnp.int32)
+                p1 = lookup(prow, onehot(i1)).astype(jnp.int32)
+                u = frac * frac * (3.0 - 2.0 * frac)  # Hermite (ref quirk:
+                axes.append((p0, p1, u))              # filtered for weights)
+
+            (px0, px1, ux), (py0, py1, uy), (pz0, pz1, uz) = axes
+            total = accum * 0.0
+            # Corner order matches perlin._CORNERS (i-major) so the f32
+            # summation order equals the jnp path's axis=-1 reduce.
+            for i in range(2):
+                for j in range(2):
+                    for k3 in range(2):
+                        h = (((px1 if i else px0)
+                              ^ (py1 if j else py0)
+                              ^ (pz1 if k3 else pz0)) & (_PC - 1))
+                        g = lookup(gradt_ref[0:3, :], onehot(h))  # (3, L)
+                        wx = ux - f(i)
+                        wy = uy - f(j)
+                        wz = uz - f(k3)
+                        blend = ((ux if i else 1.0 - ux)
+                                 * (uy if j else 1.0 - uy)
+                                 * (uz if k3 else 1.0 - uz))
+                        dot = (g[0:1] * wx + g[1:2] * wy + g[2:3] * wz)
+                        total = total + blend * dot
+            # weight 0.5^k carried as a vector (scalar transcendentals are
+            # shaky in Mosaic; halving is exact anyway).
+            return (accum + w * total, xs * 2.0, ys * 2.0, zs * 2.0,
+                    w * 0.5)
+
+        accum, _, _, _, _ = jax.lax.fori_loop(
+            0, depth, octave, (accum, x, y, z, x * 0.0 + 1.0))
+        out_ref[s:s + 1, :] = jnp.abs(accum)
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "interpret"))
+def turbulence_pallas(gradients: Array, perms: Array, p: Array,
+                      depth: int = 7, interpret: bool = False) -> Array:
+    """|sum_k 0.5^k * noise(2^k p)| for p (N, 3) -> (N,).
+
+    Drop-in for perlin.turbulence on flat batches (forward only).
+    """
+    N = p.shape[0]
+    n_pad = max(-(-N // _TB), 1) * _TB
+    T = n_pad // _TB
+    pts = jnp.pad(p.astype(jnp.float32), ((0, n_pad - N), (0, 0)))
+    # (N, 3) -> (24, T*L): coordinate-major rows of (8, L) tiles, matching
+    # the kernel's point r = s*L + c layout.
+    planes = (pts.reshape(T, 8, _L, 3).transpose(3, 1, 0, 2)
+              .reshape(24, T * _L))
+    permf = perms.astype(jnp.float32)                     # (3, 256)
+    gradt = gradients.astype(jnp.float32).T               # (3, 256)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, depth=depth),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((24, _L), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, _PC), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, _PC), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, _L), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, T * _L), jnp.float32),
+        interpret=interpret,
+    )(planes, permf, gradt)
+
+    return out.reshape(8, T, _L).transpose(1, 0, 2).reshape(n_pad)[:N]

@@ -42,6 +42,26 @@ _INF = jnp.float32(jnp.inf)
 # Family ids inside the fused kernel's winner codes (fam + 4*idx):
 _C_MISS, _C_SPHERE, _C_PLANAR, _C_VOLUME = 0, 1, 2, 3
 
+# Row-gather tables at or under this row count go through a one-hot matmul
+# instead of jnp indexing: XLA's TPU gather runs on the scalar unit (~10
+# cycles/index) and its scatter-add TRANSPOSE is 4x slower still (E4
+# microbench, BENCH_NOTES r3: gather 4.1 ms vs one-hot 4.0 ms, scatter-add
+# 9.5 ms vs one-hot-transpose 2.5 ms per 1M rows) — and jax.vjp of a
+# one-hot matmul IS the transposed matmul, so the backward rides the MXU
+# for free.
+_ONEHOT_MAX_ROWS = 4096
+
+
+def _rows(tab: Array, idx: Array) -> Array:
+    """tab[(idx,)] as a one-hot matmul when the table is small enough."""
+    S = tab.shape[0]
+    if S > _ONEHOT_MAX_ROWS:
+        return tab[idx]
+    # f32 one-hot: bf16 would round the geometry coefficients (8-bit
+    # mantissa) in both the replayed values and their cotangents.
+    oh = (idx[:, None] == jnp.arange(S, dtype=idx.dtype)[None, :])
+    return oh.astype(tab.dtype) @ tab
+
 
 def _mat_cols(scene: SceneData, mat: Array):
     """Per-primitive material/texture parameter columns (each (N,) / (N,3));
@@ -217,7 +237,7 @@ def replay_rays(scene: SceneData, static: SceneStatic, cfg: RenderConfig,
         texc = jnp.ones((B, 3))
 
         if sph_tab is not None:
-            row = sph_tab[jnp.where(is_sph, idxg, 0)]        # (B, 21)
+            row = _rows(sph_tab, jnp.where(is_sph, idxg, 0))  # (B, 21)
             alpha, beta = row[:, 0:3], row[:, 3:6]
             r, r2 = row[:, 6], row[:, 7]
             tail = _tail(row, _SPH_TAIL)
@@ -247,7 +267,7 @@ def replay_rays(scene: SceneData, static: SceneStatic, cfg: RenderConfig,
             texc = jnp.where(m[:, None], texc_s, texc)
 
         if pla_tab is not None:
-            row = pla_tab[jnp.where(is_pla, idxg, 0)]        # (B, 40)
+            row = _rows(pla_tab, jnp.where(is_pla, idxg, 0))  # (B, 40)
             n = row[:, 0:3]
             k = row[:, 3]
             ua, ca = row[:, 4:7], row[:, 7]

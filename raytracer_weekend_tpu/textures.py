@@ -58,11 +58,15 @@ def texture_value(
     has_noise: bool = True,
     has_image: bool = True,
     bilinear: bool = False,
+    pallas_noise: bool = False,
 ) -> Array:
     """Evaluate per-lane texture color -> (B,3).
 
     `has_noise`/`has_image` are static flags (from SceneStatic) that let XLA
     skip the expensive gather paths entirely for scenes without them.
+    `pallas_noise` swaps the Perlin turbulence for the one-hot-matmul Pallas
+    kernel (ops.pallas.perlin_turb) — forward-only, ~200x faster than XLA's
+    serial gathers on TPU; keep it off on paths that differentiate.
     """
     ttype = table.ttype[tex_id]          # (B,)
     c1 = table.color1[tex_id]            # (B,3)
@@ -79,7 +83,15 @@ def texture_value(
 
     # NOISE marble (texture.rs:90-94).
     if has_noise:
-        turb = perlin.turbulence(table.perlin_grad, table.perlin_perm, p, depth=7)
+        if pallas_noise:
+            from raytracer_weekend_tpu.ops.pallas.perlin_turb import (
+                turbulence_pallas)
+            turb = turbulence_pallas(
+                table.perlin_grad, table.perlin_perm,
+                p.reshape(-1, 3), depth=7).reshape(p.shape[:-1])
+        else:
+            turb = perlin.turbulence(table.perlin_grad, table.perlin_perm,
+                                     p, depth=7)
         marble = 0.5 * (1.0 + jnp.sin(scale * p[..., 2] + 10.0 * turb))
         out = jnp.where((ttype == NOISE)[..., None], marble[..., None] * jnp.ones(3), out)
 

@@ -103,18 +103,77 @@ def E2_mesh_ab():
 
 
 def E3_book2():
-    run1("book2_final_scene", "default", reps=3)
-    # Same geometry, solid textures -> no deferred combine: isolates the
-    # out-of-kernel texel evaluation cost.
+    """book2 cost split: full vs no-deferred-texture variant (same
+    geometry; noise/image swapped for solids -> kernel-only cost)."""
     import raytracer_weekend_tpu.models.scenes as SC
+    from raytracer_weekend_tpu.scene import builder as BB
+
+    run1("book2_final_scene", "full", reps=3)
     cfg = RenderConfig(width=400, height=225, samples_per_pixel=16,
                        max_depth=8, seed=0, ray_batch=0)
     objs, cams, bg = SC.book2_final_scene(cfg.aspect_ratio)
 
-    def solidify(o):
-        return o
+    def solidify(obj):
+        mat = getattr(obj, "material", None)
+        for attr in ("albedo", "emit"):
+            tex = getattr(mat, attr, None)
+            if isinstance(tex, (BB.NoiseTexture, BB.ImageTexture)):
+                setattr(mat, attr, BB.SolidColor((0.5, 0.5, 0.5)))
+        return obj
+    objs = [solidify(o) for o in objs]
     scene, static = B.build_scene(objs, background=bg, seed=0)
-    print("book2 static:", static, flush=True)
+    print("  nodefer static: noise", static.has_noise, "image",
+          static.has_image, flush=True)
+    seed = jnp.uint32(0)
+    n = cfg.n_rays
+    import time as _t
+    rad, seg = render_fused(scene, cfg, cams[0], 0, n, seed, static=static)
+    jax.block_until_ready((rad, seg))
+    t0 = _t.time()
+    outs = [render_fused(scene, cfg, cams[0], 0, n, seed, static=static)
+            for _ in range(3)]
+    jax.block_until_ready(outs)
+    dt = (_t.time() - t0) / 3
+    segs = int(seg.sum())
+    print(f"[book2 nodefer] frame_s={dt:.4f} seg/s={segs/dt/1e6:.1f}M",
+          flush=True)
+
+
+def E8_bench_scenes(out="/root/repo/BENCH_SCENES_r03.json", reps=5):
+    """Per-scene seg/s artifact for all 13 scenes + criterion + 1080p."""
+    import json
+
+    results = {}
+    for name in SCENES:
+        if name == "animated_book2_final_scene":
+            continue  # same world as book2; 30 cameras
+        dt, segs, _ = run1(name, "bench", reps=reps,
+                           **({"w": 400, "h": 400} if "cornell" in name
+                              else {}))
+        if dt:
+            results[name] = {"frame_s": round(dt, 4), "segments": segs,
+                             "seg_per_s": round(segs / dt)}
+        else:
+            results[name] = {"error": "failed"}
+    dt, segs, _ = run1("book2_final_scene", "criterion", reps=3,
+                       w=40, h=22, spp=100, depth=50)
+    if dt:
+        results["book2_criterion_40x22x100"] = {
+            "frame_s": round(dt, 4), "segments": segs,
+            "seg_per_s": round(segs / dt)}
+    dt, segs, _ = run1("textured_monument", "1080p", reps=2,
+                       w=1920, h=1080, spp=8, depth=8)
+    if dt:
+        results["monument_1920x1080x8"] = {
+            "frame_s": round(dt, 4), "segments": segs,
+            "seg_per_s": round(segs / dt)}
+    blob = {"device": str(jax.devices()[0]),
+            "config": "400x225x16spp d8 unless noted; cornell 400x400",
+            "scenes": results}
+    with open(out, "w") as fh:
+        json.dump(blob, fh, indent=1)
+    print(f"[bench scenes] -> {out}", flush=True)
+    return blob
 
 
 def E4_gathers(Bn=1 << 20, S=512, C=32, reps=20):
@@ -205,6 +264,44 @@ def E6_monument_1080p(out="/root/repo/docs/monument_1080p.png"):
     img = np.asarray(rad).reshape(cfg.height, cfg.width, 3)
     save_png(out, tone_map(img, cfg.samples_per_pixel))
     print(f"wrote {out}", flush=True)
+
+
+def E7_parity_gate(out="/root/repo/TPUPARITY_r03.json", w=64, h=36, spp=4,
+                   depth=8, atol=2e-3, frac_tol=0.002):
+    """On-chip-vs-interpret allclose gate over the full 13-scene catalog.
+
+    The mechanical check VERDICT r2 asked for: the class of bug behind the
+    round-2 monument striping (Mosaic-only divergence in the chunked path)
+    gets caught here per round instead of by eyeballing one PNG. Interpret
+    mode lowers the same kernel to XLA ops, so the comparison isolates
+    Mosaic codegen; a small frac_tol absorbs f32 reassociation on
+    near-tie winners (measured 1e-4 of lanes on book2).
+    """
+    import json
+
+    results = {}
+    for name in SCENES:
+        try:
+            d = E1_parity(name, w=w, h=h, spp=spp, depth=depth, atol=atol)
+            frac = float((d > atol).mean())
+            results[name] = {
+                "maxdiff": float(d.max()), "meandiff": float(d.mean()),
+                "frac_beyond_atol": frac, "pass": bool(frac <= frac_tol),
+            }
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}",
+                             "pass": False}
+    n_pass = sum(1 for r in results.values() if r.get("pass"))
+    blob = {
+        "config": {"width": w, "height": h, "spp": spp, "max_depth": depth,
+                   "atol": atol, "frac_tol": frac_tol,
+                   "device": str(jax.devices()[0])},
+        "passed": n_pass, "total": len(results), "scenes": results,
+    }
+    with open(out, "w") as fh:
+        json.dump(blob, fh, indent=1)
+    print(f"[parity gate] {n_pass}/{len(results)} -> {out}", flush=True)
+    return blob
 
 
 if __name__ == "__main__":
