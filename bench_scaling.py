@@ -103,9 +103,11 @@ for n in (1, 2, 4, 8):
     # overhead added by partitioning + the spp-psum collective — the
     # quantity the 2-process test cannot separate from CPU
     # oversubscription.
+    # use_pallas=False: n=1 would otherwise qualify for the fused-interpret
+    # path while n>1 takes the staged one — different code, bogus ratio.
     cfg = RenderConfig(width=%(w)d, height=%(h)d,
                        samples_per_pixel=%(spp)d * n,
-                       max_depth=%(depth)d, seed=0)
+                       max_depth=%(depth)d, seed=0, use_pallas=False)
     rmesh = make_render_mesh((1, n, 1))
     img = render_sharded(scene, static, cfg, cams[0], rmesh)  # compile
     img.block_until_ready()

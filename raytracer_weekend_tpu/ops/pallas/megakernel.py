@@ -86,7 +86,9 @@ _R_C1R, _R_C1G, _R_C1B = 22, 23, 24
 _R_C2R, _R_C2G, _R_C2B = 25, 26, 27
 _R_TSCALE = 28
 _R_TEXID = 29                        # texture row id (deferred-texture decode)
-_R_IDX = 30                          # global sphere index (VJP path residuals)
+# Global sphere index for VJP path residuals, SPLIT hi/lo (idx = 128*hi+lo):
+# gathers run at bf16-pass precision where ints are exact only to 256.
+_R_IDX_HI, _R_IDX_LO = 30, 31
 P_ROWS = 32  # padded to a sublane multiple
 
 # Planar-primitive tables: ONE family for axis-aligned rects
@@ -126,7 +128,7 @@ _RP_TSCALE = 19
 _RP_TU0, _RP_TUU, _RP_TUV = 20, 21, 22
 _RP_TV0, _RP_TVU, _RP_TVV = 23, 24, 25
 _RP_TEXID = 26                       # texture row id (deferred-texture decode)
-_RP_IDX = 27                         # global planar index (VJP path residuals)
+_RP_IDX_HI, _RP_IDX_LO = 27, 28      # split global planar index (see _R_IDX)
 PG_ROWS = 32
 
 # Constant-medium volumes (volumes.rs:38-78) ride along as per-volume SMEM
@@ -223,7 +225,8 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
     i_ref = 0
     if has_sph:
         tab_ref = refs[i_ref]
-        i_ref += 1
+        tab_int_ref = refs[i_ref + 1]
+        i_ref += 2
     if has_planar:
         tab_pd_ref, tab_po_ref, tab_pg_ref, vab_ref = refs[i_ref:i_ref + 4]
         i_ref += 4
@@ -250,6 +253,15 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
         # residuals consumed by integrator.replay_rays.
         pth_ref = refs[i_ref]
         i_ref += 1
+
+    # All table matmuls run at HIGHEST precision: Mosaic's (and XLA:TPU's)
+    # DEFAULT f32 dot is bf16-pass reduced precision, which puts ~1e-2
+    # relative noise on the planar NUM/DF/U/V planes — small scanned-mesh
+    # triangles then misclassify their in/out edge tests and whole thin
+    # strips drop out (the monument's diagonal striping, rounds 2-3; root-
+    # caused via interpret-on-TPU == chip != interpret-on-CPU). It also
+    # rounds gathered param rows (prim ids > 256 are not bf16-exact).
+    _PREC = jax.lax.Precision.HIGHEST
 
     def P(i):  # camera/background scalar
         return par_ref[0, i]
@@ -346,6 +358,11 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
         txd, tyd, tzd = time * dx, time * dy, time * dz
         txo, tyo, tzo = time * ox, time * oy, time * oz
 
+        def _split(v):  # hi/mid/lo thirds for the K-split intersections
+            h = v.astype(jnp.bfloat16).astype(f)
+            m = (v - h).astype(jnp.bfloat16).astype(f)
+            return h, m, v - h - m
+
         dn = (((0,), (0,)), ((), ()))  # contract the feature axis
         dng = (((1,), (0,)), ((), ()))  # contract the S axis
         tn_rows, param_rows = [], []
@@ -354,19 +371,37 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                 return v[s:s + 1, :]           # sublane row s -> (1, L)
 
             if has_sph:
-                f1 = jnp.concatenate([R(dx), R(dy), R(dz),
-                                      R(txd), R(tyd), R(tzd),
-                                      R(o_dot_d)], axis=0)
-                f2 = jnp.concatenate([R(ox), R(oy), R(oz),
-                                      R(txo), R(tyo), R(tzo),
-                                      R(one_f), R(time), R(time2),
-                                      R(o_sq)], axis=0)
-                # m1 = d.c(time) - o.d = -half_b;  m2 = c_term — straight
-                # off the MXU, no plane-sized correction ops.
-                m1 = jax.lax.dot_general(tab_ref[_R_AX:_R_ODOTD + 1, :], f1,
+                # K-SPLIT intersection matmuls at DEFAULT precision: the
+                # coefficient table carries [Th; Tl; Th] blocks and the
+                # feature vector [Fh; Fh; Fl] (hi = f32(bf16(x)), lo =
+                # x - hi), so one bf16-pass dot accumulates Th*Fh + Tl*Fh
+                # + Th*Fl in the f32 accumulator — ~2^-17-accurate
+                # products at single-pass cost (K quadruples but still
+                # pads to the same 128 lanes). DEFAULT on the raw
+                # coefficients produced 27% bogus segments (wrong hit
+                # structure, round-3 root cause); HIGHEST fixed it at 6x
+                # the MXU passes.
+                s1 = [_split(R(v)) for v in (dx, dy, dz, txd, tyd, tzd,
+                                             o_dot_d)]
+                s2 = [_split(R(v)) for v in (ox, oy, oz, txo, tyo, tzo,
+                                             one_f, time, time2, o_sq)]
+
+                def blocks(sp, pads):
+                    # Table blocks [Th Th Th Tm Tm Tm Tl Tl] pair with
+                    # feature blocks [Fh Fm Fl Fh Fm Fl Fh Fm].
+                    hs = [h for h, _, _ in sp]
+                    ms = [m for _, m, _ in sp]
+                    ls = [lo for _, _, lo in sp]
+                    rows = hs + ms + ls + hs + ms + ls + hs + ms
+                    return jnp.concatenate(rows + [R(zero_f)] * pads,
+                                           axis=0)
+                f1 = blocks(s1, 8)                                 # (64, L)
+                f2 = blocks(s2, 0)                                 # (80, L)
+                m1 = jax.lax.dot_general(tab_int_ref[0:64, :], f1,
                                          dn, preferred_element_type=f)
-                c_term = jax.lax.dot_general(tab_ref[_R_M2AX:_R_OSQ + 1, :],
-                                             f2, dn, preferred_element_type=f)
+                c_term = jax.lax.dot_general(tab_int_ref[64:144, :],
+                                             f2, dn,
+                                             preferred_element_type=f)
 
                 disc = m1 * m1 - R(a) * c_term                  # (S, L)
                 # No explicit disc>0 guard: sqrt(neg) = NaN, NaN comparisons
@@ -392,9 +427,17 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                     # finite garbage on a lane that `hit`/`alive` masks out.
                     onehot = jnp.where(tn_all == tn_s,
                                        f(1.0), f(0.0))             # (S, L)
+                    # SPLIT gather at DEFAULT (bf16-pass) precision: rows
+                    # [0, P) are the exact f32 params (the bf16 pass rounds
+                    # them to exactly their hi halves), rows [P, 2P) the
+                    # residuals x - bf16(x); summing the two gathered
+                    # blocks reconstructs x to ~8e-6 relative at 1/3 the
+                    # cost of a HIGHEST gather. The intersection matmuls
+                    # above stay HIGHEST: DEFAULT there produced 27%% bogus
+                    # segments (wrong hit structure, round-3 root cause).
                     param_rows.append(jax.lax.dot_general(
-                        tab_ref[:, :], onehot, dng,
-                        preferred_element_type=f))                 # (P, L)
+                        tab_ref[P_ROWS:3 * P_ROWS, :], onehot, dng,
+                        preferred_element_type=f))                 # (2P, L)
 
         def _stack(rows):
             return jnp.concatenate(rows, axis=0)                  # (8, L)
@@ -411,20 +454,50 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
             # BENCH_NOTES round-2 table.)
             rc = r_chunk
             n_chunks = r_pad // rc
+            # Single-chunk planar scenes (rect rooms etc.) get the same
+            # 8-block K-split as the sphere path: f32-quality products from
+            # ONE DEFAULT-precision pass. Chunked mesh scenes keep HIGHEST
+            # (the K-split tables triple the per-prim VMEM footprint, which
+            # the fully-resident mesh tables cannot afford).
+            pk = n_chunks == 1
 
-            fd_rows = [jnp.concatenate([dx[s:s + 1], dy[s:s + 1],
-                                        dz[s:s + 1]], axis=0)
-                       for s in range(8)]
-            fo_rows = [jnp.concatenate([ox[s:s + 1], oy[s:s + 1],
-                                        oz[s:s + 1], one_f[s:s + 1]], axis=0)
-                       for s in range(8)]
+            def _krows(sp):
+                hs = [h for h, _, _ in sp]
+                ms = [m for _, m, _ in sp]
+                ls = [lo for _, _, lo in sp]
+                return hs + ms + ls + hs + ms + ls + hs + ms
+
+            if pk:
+                fd_rows = [jnp.concatenate(
+                    _krows([_split(v[s:s + 1]) for v in (dx, dy, dz)]),
+                    axis=0) for s in range(8)]                   # (24, L)
+                fo_rows = [jnp.concatenate(
+                    _krows([_split(v[s:s + 1])
+                            for v in (ox, oy, oz, one_f)]),
+                    axis=0) for s in range(8)]                   # (32, L)
+            else:
+                fd_rows = [jnp.concatenate([dx[s:s + 1], dy[s:s + 1],
+                                            dz[s:s + 1]], axis=0)
+                           for s in range(8)]
+                fo_rows = [jnp.concatenate([ox[s:s + 1], oy[s:s + 1],
+                                            oz[s:s + 1], one_f[s:s + 1]],
+                                           axis=0)
+                           for s in range(8)]
 
             def planar_chunk(pd8, po8, pg, s):
-                # pd8 (8, 3rc) rows 0-2 used; po8 (8, 4rc) rows 0-3.
-                md = jax.lax.dot_general(pd8[0:3], fd_rows[s], dn,
-                                         preferred_element_type=f)
-                mo = jax.lax.dot_general(po8[0:4], fo_rows[s], dn,
-                                         preferred_element_type=f)
+                # pd8 (8|24, 3rc); po8 (8|32, 4rc) — K-split when pk.
+                if pk:
+                    md = jax.lax.dot_general(pd8[0:24], fd_rows[s], dn,
+                                             preferred_element_type=f)
+                    mo = jax.lax.dot_general(po8[0:32], fo_rows[s], dn,
+                                             preferred_element_type=f)
+                else:
+                    md = jax.lax.dot_general(pd8[0:3], fd_rows[s], dn,
+                                             precision=_PREC,
+                                             preferred_element_type=f)
+                    mo = jax.lax.dot_general(po8[0:4], fo_rows[s], dn,
+                                             precision=_PREC,
+                                             preferred_element_type=f)
                 df = md[0:rc]
                 t_rp = mo[0:rc] / df                          # (rc, L)
                 u = mo[rc:2 * rc] + t_rp * md[rc:2 * rc]
@@ -442,8 +515,8 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                                 f(1.0), f(0.0))
                 if "nogather" not in ablate:
                     p_c = jax.lax.dot_general(
-                        pg, ohr, dng,
-                        preferred_element_type=f)             # (PG, L)
+                        pg[PG_ROWS:3 * PG_ROWS], ohr, dng,
+                        preferred_element_type=f)             # (2PG, L)
                     # Winner's in-plane coordinates (normal/UV interp).
                     # Sanitize through `ok` first: padded slots carry
                     # u = NaN (0/0 t), and 0 * NaN = NaN would poison
@@ -466,9 +539,12 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
             # (chunk-level-only cull: 10.0M seg/s on cow vs per-row 15.5M).
             cull = "nocull" not in ablate
             tr_rows, paramr_list, uw_rows, vw_rows = [], [], [], []
+            pd_rows0 = 24 if pk else 8
+            po_rows0 = 32 if pk else 8
             for s in range(8):
-                best = planar_chunk(tab_pd_ref[0:8, :], tab_po_ref[0:8, :],
-                                    tab_pg_ref[0:PG_ROWS, :], s)
+                best = planar_chunk(tab_pd_ref[0:pd_rows0, :],
+                                    tab_po_ref[0:po_rows0, :],
+                                    tab_pg_ref[0:3 * PG_ROWS, :], s)
                 # Chunk 0 statically (its outputs give the loop carries
                 # their concrete layouts); remaining chunks in a fori_loop
                 # with dynamic 8-aligned sublane slices, so the unrolled
@@ -508,7 +584,8 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                             trn, p_c, u_c, v_c = planar_chunk(
                                 tab_pd_ref[pl.ds(cI * 8, 8), :],
                                 tab_po_ref[pl.ds(cI * 8, 8), :],
-                                tab_pg_ref[pl.ds(cI * PG_ROWS, PG_ROWS), :],
+                                tab_pg_ref[pl.ds(cI * 3 * PG_ROWS,
+                                                 3 * PG_ROWS), :],
                                 s)
                             b = jnp.where(trn > btrn, f(1.0), f(0.0))
                             # Exact select, NOT `bp + b*(p_c - bp)`: that
@@ -563,7 +640,8 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                         trn, _, _, _ = planar_chunk(
                             tab_pd_ref[pl.ds(cI * 8, 8), :],
                             tab_po_ref[pl.ds(cI * 8, 8), :],
-                            tab_pg_ref[pl.ds(cI * PG_ROWS, PG_ROWS), :], s)
+                            tab_pg_ref[pl.ds(cI * 3 * PG_ROWS,
+                                             3 * PG_ROWS), :], s)
                         return jnp.maximum(trn, btrn)
 
                     best = (jax.lax.fori_loop(1, n_chunks, chunk_body_t,
@@ -689,10 +767,12 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                 v_w = vw8
 
             def G(r):  # gathered sphere-winner row r, restacked to (8, L)
-                return _stack([p[r:r + 1, :] for p in param_rows])
+                return _stack([p[r:r + 1, :] + p[P_ROWS + r:P_ROWS + r + 1, :]
+                               for p in param_rows])
 
             def Gr(r):  # gathered planar-winner row r, restacked to (8, L)
-                return _stack([p[r:r + 1, :] for p in paramr_rows])
+                return _stack([p[r:r + 1, :] + p[PG_ROWS + r:PG_ROWS + r + 1, :]
+                               for p in paramr_rows])
 
         if has_sph and has_planar:
             def G2(rs, rr):  # family-merged hit param
@@ -925,9 +1005,10 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
             # winners sum indices in the one-hot gather (measure zero).
             pcode = zero_f
             if has_sph:
-                pcode = f(1.0) + 4.0 * G(_R_IDX)
+                pcode = f(1.0) + 4.0 * (128.0 * G(_R_IDX_HI) + G(_R_IDX_LO))
             if has_planar:
-                pp = f(2.0) + 4.0 * Gr(_RP_IDX)
+                pp = f(2.0) + 4.0 * (128.0 * Gr(_RP_IDX_HI)
+                                     + Gr(_RP_IDX_LO))
                 pcode = jnp.where(rect_w, pp, pcode) if has_sph else pp
             if n_vol:
                 pcode = jnp.where(vol_w, f(3.0) + 4.0 * v_id, pcode)
@@ -1011,9 +1092,10 @@ def _build_table(scene: SceneData, s_pad: int) -> Array:
         c2c[:, 0], c2c[:, 1], c2c[:, 2],
         tx.scale[tid],
         tid.astype(jnp.float32),
-        jnp.arange(S, dtype=jnp.float32),
+        jnp.arange(S, dtype=jnp.float32) // 128,
+        jnp.arange(S, dtype=jnp.float32) % 128,
     ]
-    tab = jnp.stack(rows, axis=0).astype(jnp.float32)     # (31, S)
+    tab = jnp.stack(rows, axis=0).astype(jnp.float32)     # (32, S)
     # Padded columns: zero coefficients except k0, which must stay "invalid".
     tab = jnp.pad(tab, ((0, P_ROWS - tab.shape[0]), (0, 0)))
     if s_pad > S:
@@ -1022,7 +1104,32 @@ def _build_table(scene: SceneData, s_pad: int) -> Array:
         tab = jnp.concatenate([tab, padcol], axis=1)
     elif s_pad < S:  # timing-ablation only: truncated table, wrong image
         tab = tab[:, :s_pad]
-    return tab
+    # Split-gather blocks: rows [P, 2P) hold hi = f32(bf16(x)), rows
+    # [2P, 3P) lo = x - hi. Gathering hi+lo at DEFAULT (bf16-pass)
+    # precision reconstructs x to ~8e-6 (hi is bf16-representable so the
+    # pass is exact on it; lo only rounds at 2^-17 |x|), and on exact
+    # backends (CPU tests) hi + lo == x bitwise.
+    hi = tab.astype(jnp.bfloat16).astype(jnp.float32)
+    tab_full = jnp.concatenate([tab, hi, tab - hi], axis=0)
+    # K-split intersection table (kernel comment at the matmuls): each
+    # coefficient x = xh + xm + xl (three 8-bit-mantissa bf16 pieces cover
+    # the f32 mantissa); paired with 3-way-split features, the six block
+    # products hh+hm+hl+mh+mm+lh reconstruct x*y to ~2^-24 in ONE
+    # DEFAULT-precision pass (K grows 8x but still pads to 128; only the
+    # 2^-32 ll term is dropped). A 2-way split (~2^-17) was NOT enough:
+    # jumpy's glass-shell re-intersections sit on c_term ~ 0 knife edges
+    # and flipped 6%% of segments; 6 blocks (~2^-24) still flipped ~1%%
+    # of the near-tangent outlier budget.
+    def _ksplit(t, pad_to):
+        th = t.astype(jnp.bfloat16).astype(jnp.float32)
+        tm = (t - th).astype(jnp.bfloat16).astype(jnp.float32)
+        tl = t - th - tm
+        blk = jnp.concatenate([th, th, th, tm, tm, tm, tl, tl], axis=0)
+        return jnp.pad(blk, ((0, pad_to - blk.shape[0]), (0, 0)))
+    tab_int = jnp.concatenate(
+        [_ksplit(tab[_R_AX:_R_ODOTD + 1], 64),
+         _ksplit(tab[_R_M2AX:_R_OSQ + 1], 80)], axis=0)  # (144, s_pad)
+    return tab_full, tab_int
 
 
 def _build_planar_tables(scene: SceneData, r_pad: int,
@@ -1131,26 +1238,43 @@ def _build_planar_tables(scene: SceneData, r_pad: int,
     # 4096 does not, bisected on-chip. tools/perf_r2e.py.)
     rc = r_chunk or r_pad
     c = r_pad // rc
+    ksplit = c == 1   # single-chunk scenes take the K-split planar matmuls
+
+    def _tks(t):
+        # Table side of the 8-block K-split: [Th Th Th Tm Tm Tm Tl Tl]
+        # pairing the kernel's [Fh Fm Fl Fh Fm Fl Fh Fm] feature rows.
+        th = t.astype(jnp.bfloat16).astype(jnp.float32)
+        tm = (t - th).astype(jnp.bfloat16).astype(jnp.float32)
+        tl = t - th - tm
+        return jnp.concatenate([th, th, th, tm, tm, tm, tl, tl], axis=0)
 
     def chunk_stack(blocks, used_rows):
         # blocks: list of (used_rows, r_pad) -> (c*8, len(blocks)*rc) with
         # chunk cI's [b0|b1|...] block in sublane rows [8cI, 8cI+used_rows).
         x = jnp.stack(blocks, axis=0)                    # (B, rows, r_pad)
         B = x.shape[0]
+        group = -(-used_rows // 8) * 8
         x = x.reshape(B, used_rows, c, rc)
         x = x.transpose(2, 1, 0, 3).reshape(c, used_rows, B * rc)
-        x = jnp.pad(x, ((0, 0), (0, 8 - used_rows), (0, 0)))
-        return x.reshape(c * 8, B * rc)
+        x = jnp.pad(x, ((0, 0), (0, group - used_rows), (0, 0)))
+        return x.reshape(c * group, B * rc)
 
-    tab_pd = chunk_stack([padc(n_all, 3), padc(ua_all, 3), padc(ub_all, 3)],
-                         3)
+    pd_blocks = [padc(n_all, 3), padc(ua_all, 3), padc(ub_all, 3)]
+    if ksplit:
+        tab_pd = chunk_stack([_tks(b) for b in pd_blocks], 24)
+    else:
+        tab_pd = chunk_stack(pd_blocks, 3)
     num_c = jnp.concatenate([-n_all, cat(k_rows)[:, None]], 1)
     u0_c = jnp.concatenate([ua_all, cat(ca_rows)[:, None]], 1)
     v0_c = jnp.concatenate([ub_all, cat(cb_rows)[:, None]], 1)
     zero3 = jnp.zeros((R, 3), jnp.float32)
     fl_c = jnp.concatenate([zero3, cat(flag_rows)[:, None]], 1)
-    tab_po = chunk_stack(
-        [padc(num_c, 4), padc(u0_c, 4), padc(v0_c, 4), padc(fl_c, 4)], 4)
+    po_blocks = [padc(num_c, 4), padc(u0_c, 4), padc(v0_c, 4),
+                 padc(fl_c, 4)]
+    if ksplit:
+        tab_po = chunk_stack([_tks(b) for b in po_blocks], 32)
+    else:
+        tab_po = chunk_stack(po_blocks, 4)
 
     mat = cat(mat_rows)
     tid = mt.tex[mat]
@@ -1173,14 +1297,18 @@ def _build_planar_tables(scene: SceneData, r_pad: int,
         tu[:, 0], tu[:, 1], tu[:, 2],
         tv[:, 0], tv[:, 1], tv[:, 2],
         tid.astype(jnp.float32),
-        jnp.arange(R, dtype=jnp.float32),
+        jnp.arange(R, dtype=jnp.float32) // 128,
+        jnp.arange(R, dtype=jnp.float32) % 128,
     ]
     tab_pg = jnp.stack(rows, axis=0).astype(jnp.float32)
     tab_pg = jnp.pad(tab_pg, ((0, PG_ROWS - tab_pg.shape[0]),
                               (0, r_pad - R)))
-    # Same chunk-major sublane stacking: (PG_ROWS, r_pad) -> (c*PG, rc).
-    tab_pg = (tab_pg.reshape(PG_ROWS, c, rc).transpose(1, 0, 2)
-              .reshape(c * PG_ROWS, rc))
+    # Split-gather blocks [exact; hi; lo] (see _build_table comment).
+    pg_hi = tab_pg.astype(jnp.bfloat16).astype(jnp.float32)
+    tab_pg = jnp.concatenate([tab_pg, pg_hi, tab_pg - pg_hi], axis=0)
+    # Same chunk-major sublane stacking: (3PG, r_pad) -> (c*3PG, rc).
+    tab_pg = (tab_pg.reshape(3 * PG_ROWS, c, rc).transpose(1, 0, 2)
+              .reshape(c * 3 * PG_ROWS, rc))
     return tab_pd, tab_po, tab_pg
 
 
@@ -1403,17 +1531,25 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     # compile on the real TPU (BENCH_NOTES.md). 64k f32 lanes per plane
     # keeps the set near ~3.5 MB.
     if has_planar:
+        # 32k f32 lanes per plane (was 64k): the HIGHEST-precision
+        # intersection matmuls add bf16-split temporaries, and 64k planes
+        # put mesh scenes ~1 MB over the 16 MB scoped-VMEM limit.
         r_chunk = r_chunk_override or max(
-            128, min(r_pad0, (65536 // lanes_l) // 128 * 128))
+            128, min(r_pad0, (32768 // lanes_l) // 128 * 128))
         r_pad = _round_up(r_pad0, r_chunk)
     else:
         r_chunk = r_pad = 0
 
     tabs, tab_specs = [], []
     if has_sph:
-        tabs.append(_build_table(scene, s_pad))
-        tab_specs.append(pl.BlockSpec((P_ROWS, s_pad), lambda i: (0, 0),
-                                      memory_space=pltpu.VMEM))
+        tab_full, tab_int = _build_table(scene, s_pad)
+        tabs += [tab_full, tab_int]
+        tab_specs += [
+            pl.BlockSpec((3 * P_ROWS, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((144, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     if has_planar:
         tab_pd, tab_po, tab_pg = _build_planar_tables(
             scene, r_pad, with_rects, with_tris, r_chunk)
@@ -1421,12 +1557,14 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         vab_arr = _planar_chunk_aabbs(scene, r_pad, r_chunk,
                                       with_rects, with_tris)
         tabs += [tab_pd, tab_po, tab_pg, vab_arr]
+        pd_rows = 24 if n_ch == 1 else n_ch * 8
+        po_rows = 32 if n_ch == 1 else n_ch * 8
         tab_specs += [
-            pl.BlockSpec((n_ch * 8, 3 * r_chunk), lambda i: (0, 0),
+            pl.BlockSpec((pd_rows, 3 * r_chunk), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_ch * 8, 4 * r_chunk), lambda i: (0, 0),
+            pl.BlockSpec((po_rows, 4 * r_chunk), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_ch * PG_ROWS, r_chunk), lambda i: (0, 0),
+            pl.BlockSpec((n_ch * 3 * PG_ROWS, r_chunk), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
@@ -1603,7 +1741,7 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
 
     # ctab rides with the tile-indexed inputs (its block index is the tile
     # id, which restarts at 0 per slab — so it is sliced per slab too).
-    ctab_pos = ((1 if has_sph else 0) + 4) if primary_clist else None
+    ctab_pos = ((2 if has_sph else 0) + 4) if primary_clist else None
 
     def call_slab(colrow_k, rid_k, ctab_k, gk):
         tabs_k, specs_k = list(tabs), list(tab_specs)

@@ -44,7 +44,12 @@ def _kernel(pts_ref, permf_ref, gradt_ref, out_ref, *, depth: int):
     dn = (((1,), (0,)), ((), ()))             # contract the 256 axis
 
     def lookup(row, oh):                      # (r, 256) x (256, L) -> (r, L)
-        return jax.lax.dot_general(row, oh, dn, preferred_element_type=f)
+        # DEFAULT (single bf16 pass): perm values are ints < 256 (exact in
+        # bf16); gradient components ride the [hi; lo] split table below,
+        # reconstructing f32 to ~2^-17. HIGHEST here cost 6 passes per
+        # lookup and dropped two_perlin_spheres 16.3 -> 3.5M seg/s.
+        return jax.lax.dot_general(row, oh, dn,
+                                   preferred_element_type=f)
 
     for s in range(8):
         x = pts_ref[s:s + 1, :]
@@ -78,7 +83,8 @@ def _kernel(pts_ref, permf_ref, gradt_ref, out_ref, *, depth: int):
                         h = (((px1 if i else px0)
                               ^ (py1 if j else py0)
                               ^ (pz1 if k3 else pz0)) & (_PC - 1))
-                        g = lookup(gradt_ref[0:3, :], onehot(h))  # (3, L)
+                        g6 = lookup(gradt_ref[0:8, :], onehot(h))  # (8, L)
+                        g = g6[0:3] + g6[3:6]     # hi + lo -> f32 gradient
                         wx = ux - f(i)
                         wy = uy - f(j)
                         wz = uz - f(k3)
@@ -113,7 +119,11 @@ def turbulence_pallas(gradients: Array, perms: Array, p: Array,
     planes = (pts.reshape(T, 8, _L, 3).transpose(3, 1, 0, 2)
               .reshape(24, T * _L))
     permf = perms.astype(jnp.float32)                     # (3, 256)
-    gradt = gradients.astype(jnp.float32).T               # (3, 256)
+    gt = gradients.astype(jnp.float32).T                  # (3, 256)
+    gh = gt.astype(jnp.bfloat16).astype(jnp.float32)
+    gradt = jnp.concatenate(
+        [gh, gt - gh, jnp.zeros((2, _PC), jnp.float32)], axis=0)
+    # (8, 256) [hi; lo; pad]: sublane-multiple rows for the VMEM block
 
     out = pl.pallas_call(
         functools.partial(_kernel, depth=depth),
@@ -123,7 +133,7 @@ def turbulence_pallas(gradients: Array, perms: Array, p: Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, _PC), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, _PC), lambda i: (0, 0),
+            pl.BlockSpec((8, _PC), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, _L), lambda i: (0, i),

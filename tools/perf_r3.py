@@ -266,35 +266,62 @@ def E6_monument_1080p(out="/root/repo/docs/monument_1080p.png"):
     print(f"wrote {out}", flush=True)
 
 
-def E7_parity_gate(out="/root/repo/TPUPARITY_r03.json", w=64, h=36, spp=4,
-                   depth=8, atol=2e-3, frac_tol=0.002):
-    """On-chip-vs-interpret allclose gate over the full 13-scene catalog.
+def E7_parity_gate(out="/root/repo/TPUPARITY_r03.json",
+                   refs="/tmp/tpuparity_refs", w=64, h=36, spp=16,
+                   depth=8, atol=0.08, frac_tol=0.025, mean_tol=8e-3):
+    """On-chip fused renders vs exact CPU staged references, 13 scenes.
 
-    The mechanical check VERDICT r2 asked for: the class of bug behind the
-    round-2 monument striping (Mosaic-only divergence in the chunked path)
-    gets caught here per round instead of by eyeballing one PNG. Interpret
-    mode lowers the same kernel to XLA ops, so the comparison isolates
-    Mosaic codegen; a small frac_tol absorbs f32 reassociation on
-    near-tie winners (measured 1e-4 of lanes on book2).
+    The mechanical gate VERDICT r2 asked for — upgraded to compare against
+    the CPU STAGED path (exact f32), which is what caught the round-3 root
+    cause (TPU DEFAULT matmul precision corrupting small-triangle tests):
+    a chip-vs-interpret comparison is blind to bugs shared by Mosaic and
+    XLA:TPU. Tolerances are Monte-Carlo-aware per-PIXEL (sum/spp) checks:
+    ~1-ulp backend rounding legitimately sends a few percent of lanes onto
+    different sample paths, so per-lane bit parity across backends is not a
+    meaningful bar; structural bugs (the monument stripes were 39% of mesh
+    lanes at 0.1+ magnitude) still fail loudly. References:
+    tools/gen_tpuparity_refs.py.
     """
     import json
+    import os
 
     results = {}
     for name in SCENES:
+        ref_path = os.path.join(refs, f"{name}.npy")
+        if not os.path.exists(ref_path):
+            results[name] = {"error": "missing reference", "pass": False}
+            continue
         try:
-            d = E1_parity(name, w=w, h=h, spp=spp, depth=depth, atol=atol)
+            scene, static, cfg, cam = setup(name, w=w, h=h, spp=spp,
+                                            depth=depth)
+            seed = jnp.uint32(0)
+            rad, seg = render_fused(scene, cfg, cam, 0, cfg.n_rays, seed,
+                                    static=static)
+            mpix = (np.asarray(rad).reshape(h * w, spp, 3).sum(axis=1)
+                    / spp)
+            ref = np.load(ref_path).reshape(h * w, 3) / spp
+            d = np.abs(mpix - ref).max(axis=1)
             frac = float((d > atol).mean())
+            mean = float(np.abs(mpix - ref).mean())
             results[name] = {
-                "maxdiff": float(d.max()), "meandiff": float(d.mean()),
-                "frac_beyond_atol": frac, "pass": bool(frac <= frac_tol),
+                "maxdiff": float(d.max()), "meandiff": mean,
+                "frac_beyond_atol": frac,
+                "segments": int(seg.sum()),
+                "pass": bool(frac <= frac_tol and mean <= mean_tol),
             }
+            print(f"[gate {name}] frac={frac:.4f} mean={mean:.4f} "
+                  f"pass={results[name]['pass']}", flush=True)
         except Exception as e:  # noqa: BLE001
             results[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}",
                              "pass": False}
+            print(f"[gate {name}] ERROR {results[name]['error']}",
+                  flush=True)
     n_pass = sum(1 for r in results.values() if r.get("pass"))
     blob = {
         "config": {"width": w, "height": h, "spp": spp, "max_depth": depth,
-                   "atol": atol, "frac_tol": frac_tol,
+                   "atol": atol, "frac_tol": frac_tol, "mean_tol": mean_tol,
+                   "reference": "CPU staged path (exact f32), "
+                                "tools/gen_tpuparity_refs.py",
                    "device": str(jax.devices()[0])},
         "passed": n_pass, "total": len(results), "scenes": results,
     }
