@@ -156,6 +156,19 @@ _LN10_INV = 0.43429448190325176
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
+def _bf16_trunc(x):
+    """Truncate x to a bf16-representable value via bit masking.
+
+    NOT `x.astype(bfloat16).astype(float32)`: XLA/Mosaic fold that cast
+    round-trip away on the TPU backend (observed on v5e: the K-split and
+    split-gather silently degenerated to plain bf16-pass precision, flipping
+    ~1.7%% of jumpy's primary hits). Integer masking cannot be folded, and a
+    truncated value is exactly representable in bf16, so the DEFAULT matmul
+    pass carries it exactly.
+    """
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jax.lax.bitcast_convert_type(b & jnp.int32(-65536), jnp.float32)
+
 
 # --------------------------------------------------------------------------
 # In-kernel PCG4D (bit-identical to rng.pcg4d / rng.rand4)
@@ -359,8 +372,8 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
         txo, tyo, tzo = time * ox, time * oy, time * oz
 
         def _split(v):  # hi/mid/lo thirds for the K-split intersections
-            h = v.astype(jnp.bfloat16).astype(f)
-            m = (v - h).astype(jnp.bfloat16).astype(f)
+            h = _bf16_trunc(v)
+            m = _bf16_trunc(v - h)
             return h, m, v - h - m
 
         dn = (((0,), (0,)), ((), ()))  # contract the feature axis
@@ -1109,7 +1122,7 @@ def _build_table(scene: SceneData, s_pad: int) -> Array:
     # precision reconstructs x to ~8e-6 (hi is bf16-representable so the
     # pass is exact on it; lo only rounds at 2^-17 |x|), and on exact
     # backends (CPU tests) hi + lo == x bitwise.
-    hi = tab.astype(jnp.bfloat16).astype(jnp.float32)
+    hi = _bf16_trunc(tab)
     tab_full = jnp.concatenate([tab, hi, tab - hi], axis=0)
     # K-split intersection table (kernel comment at the matmuls): each
     # coefficient x = xh + xm + xl (three 8-bit-mantissa bf16 pieces cover
@@ -1121,8 +1134,8 @@ def _build_table(scene: SceneData, s_pad: int) -> Array:
     # and flipped 6%% of segments; 6 blocks (~2^-24) still flipped ~1%%
     # of the near-tangent outlier budget.
     def _ksplit(t, pad_to):
-        th = t.astype(jnp.bfloat16).astype(jnp.float32)
-        tm = (t - th).astype(jnp.bfloat16).astype(jnp.float32)
+        th = _bf16_trunc(t)
+        tm = _bf16_trunc(t - th)
         tl = t - th - tm
         blk = jnp.concatenate([th, th, th, tm, tm, tm, tl, tl], axis=0)
         return jnp.pad(blk, ((0, pad_to - blk.shape[0]), (0, 0)))
@@ -1243,8 +1256,8 @@ def _build_planar_tables(scene: SceneData, r_pad: int,
     def _tks(t):
         # Table side of the 8-block K-split: [Th Th Th Tm Tm Tm Tl Tl]
         # pairing the kernel's [Fh Fm Fl Fh Fm Fl Fh Fm] feature rows.
-        th = t.astype(jnp.bfloat16).astype(jnp.float32)
-        tm = (t - th).astype(jnp.bfloat16).astype(jnp.float32)
+        th = _bf16_trunc(t)
+        tm = _bf16_trunc(t - th)
         tl = t - th - tm
         return jnp.concatenate([th, th, th, tm, tm, tm, tl, tl], axis=0)
 
@@ -1304,7 +1317,7 @@ def _build_planar_tables(scene: SceneData, r_pad: int,
     tab_pg = jnp.pad(tab_pg, ((0, PG_ROWS - tab_pg.shape[0]),
                               (0, r_pad - R)))
     # Split-gather blocks [exact; hi; lo] (see _build_table comment).
-    pg_hi = tab_pg.astype(jnp.bfloat16).astype(jnp.float32)
+    pg_hi = _bf16_trunc(tab_pg)
     tab_pg = jnp.concatenate([tab_pg, pg_hi, tab_pg - pg_hi], axis=0)
     # Same chunk-major sublane stacking: (3PG, r_pad) -> (c*3PG, rc).
     tab_pg = (tab_pg.reshape(3 * PG_ROWS, c, rc).transpose(1, 0, 2)

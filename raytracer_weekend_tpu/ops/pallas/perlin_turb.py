@@ -120,7 +120,11 @@ def turbulence_pallas(gradients: Array, perms: Array, p: Array,
               .reshape(24, T * _L))
     permf = perms.astype(jnp.float32)                     # (3, 256)
     gt = gradients.astype(jnp.float32).T                  # (3, 256)
-    gh = gt.astype(jnp.bfloat16).astype(jnp.float32)
+    # Bit-mask truncation, not a bf16 cast round-trip: XLA folds the cast
+    # pair away on TPU (see megakernel._bf16_trunc).
+    gh = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(gt, jnp.int32) & jnp.int32(-65536),
+        jnp.float32)
     gradt = jnp.concatenate(
         [gh, gt - gh, jnp.zeros((2, _PC), jnp.float32)], axis=0)
     # (8, 256) [hi; lo; pad]: sublane-multiple rows for the VMEM block

@@ -261,7 +261,8 @@ def E6_monument_1080p(out="/root/repo/docs/monument_1080p.png"):
     dt = time.time() - t0
     print(f"[monument 1080p] frame_s={dt:.2f} seg/s={segs/dt/1e6:.1f}M",
           flush=True)
-    img = np.asarray(rad).reshape(cfg.height, cfg.width, 3)
+    img = (np.asarray(rad).reshape(cfg.n_pixels, cfg.samples_per_pixel, 3)
+           .sum(axis=1).reshape(cfg.height, cfg.width, 3))
     save_png(out, tone_map(img, cfg.samples_per_pixel))
     print(f"wrote {out}", flush=True)
 
