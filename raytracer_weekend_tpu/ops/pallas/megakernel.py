@@ -1851,11 +1851,16 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
 
 def fused_supported(static: SceneStatic, cfg: RenderConfig) -> bool:
     """The fused megakernel handles this (scene, config)."""
-    # Planar cap: tables are VMEM-resident at (3,3r)+(4,4r)+(32,r) f32 =
-    # 57 bytes/prim -> 24576 prims ~ 1.4 MB + chunk planes (~3.5 MB budget,
-    # render_fused) + ray state; suspension (17,190 tris) verified on-chip.
+    # Planar cap: tables are VMEM-resident; with the round-3 split-gather
+    # blocks they cost ~608 bytes/prim (pd 96 + po 128 + pg 3x128), so
+    # ~18k prims ~ 11 MB + chunk planes (~1.8 MB) + ray state fits the
+    # 16 MB scoped-VMEM limit; suspension (17,190 tris) verified on-chip.
+    # Sphere cap: gather (96 rows) + K-split (144 rows) tables cost
+    # 960 B/sphere and the (s_pad, L) intersection planes 512 B * ~6 live;
+    # 2048 spheres ~ 2 MB tables + 6 MB planes. book2 (1006+pad) is the
+    # largest catalog scene.
     return (static.fused_simple
-            and static.n_spheres <= 8192
-            and static.n_rects + static.n_triangles <= 24576
+            and static.n_spheres <= 2048
+            and static.n_rects + static.n_triangles <= 18432
             and static.n_volumes <= 8      # unrolled in-kernel
             and cfg.width > 1 and cfg.height > 1)
