@@ -37,12 +37,18 @@ def _kernel(o_ref, d_ref, f_ref, a_ref, b_ref, k_ref, a0_ref, a1_ref,
     d = d_ref[:].T
     t_min = tmin_ref[0, 0]
 
-    o_f = jnp.dot(o, f_ref[:], preferred_element_type=jnp.float32)  # (TB,R)
-    d_f = jnp.dot(d, f_ref[:], preferred_element_type=jnp.float32)
-    o_a = jnp.dot(o, a_ref[:], preferred_element_type=jnp.float32)
-    d_a = jnp.dot(d, a_ref[:], preferred_element_type=jnp.float32)
-    o_b = jnp.dot(o, b_ref[:], preferred_element_type=jnp.float32)
-    d_b = jnp.dot(d, b_ref[:], preferred_element_type=jnp.float32)
+    o_f = jnp.dot(o, f_ref[:], precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # (TB,R)
+    d_f = jnp.dot(d, f_ref[:], precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    o_a = jnp.dot(o, a_ref[:], precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    d_a = jnp.dot(d, a_ref[:], precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    o_b = jnp.dot(o, b_ref[:], precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    d_b = jnp.dot(d, b_ref[:], precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
 
     t = (k_ref[:] - o_f) / d_f
     av = o_a + t * d_a

@@ -50,10 +50,14 @@ def _kernel(o_ref, d_ref, time_ref, c0_ref, dc_ref, t0_ref, inv_dt_ref,
     dc = dc_ref[:]
 
     # MXU pairwise dots.
-    o_c0 = jnp.dot(o, c0, preferred_element_type=jnp.float32)   # (TB, S)
-    o_dc = jnp.dot(o, dc, preferred_element_type=jnp.float32)
-    d_c0 = jnp.dot(d, c0, preferred_element_type=jnp.float32)
-    d_dc = jnp.dot(d, dc, preferred_element_type=jnp.float32)
+    o_c0 = jnp.dot(o, c0, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)   # (TB, S)
+    o_dc = jnp.dot(o, dc, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    d_c0 = jnp.dot(d, c0, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    d_dc = jnp.dot(d, dc, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
 
     # Per-ray scalars (VPU).
     a = jnp.sum(dT * dT, axis=0)[:, None]        # (TB, 1)

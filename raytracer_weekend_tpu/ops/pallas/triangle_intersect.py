@@ -48,12 +48,18 @@ def _kernel(o_ref, d_ref, n_ref, ab_ref, ac_ref, acxv0_ref, abxv0_ref,
     w2 = oT[0] * dT[1] - oT[1] * dT[0]
     w = jnp.stack([w0, w1, w2], axis=1)  # (TB, 3)
 
-    det = -jnp.dot(d, n_ref[:], preferred_element_type=jnp.float32)
-    u_num = (jnp.dot(w, ac_ref[:], preferred_element_type=jnp.float32)
-             - jnp.dot(d, acxv0_ref[:], preferred_element_type=jnp.float32))
-    v_num = -(jnp.dot(w, ab_ref[:], preferred_element_type=jnp.float32)
-              - jnp.dot(d, abxv0_ref[:], preferred_element_type=jnp.float32))
-    t_num = jnp.dot(o, n_ref[:], preferred_element_type=jnp.float32) - v0n_ref[:]
+    det = -jnp.dot(d, n_ref[:], precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    u_num = (jnp.dot(w, ac_ref[:], precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+             - jnp.dot(d, acxv0_ref[:], precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32))
+    v_num = -(jnp.dot(w, ab_ref[:], precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+              - jnp.dot(d, abxv0_ref[:], precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32))
+    t_num = jnp.dot(o, n_ref[:], precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32) - v0n_ref[:]
 
     degenerate = det == 0.0
     inv_det = 1.0 / jnp.where(degenerate, 1.0, det)
