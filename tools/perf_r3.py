@@ -1,9 +1,10 @@
-"""Round-3 interactive TPU session: striping check + chunk-path A/B.
+"""Round-3 TPU experiment library (drive via tools/tpu_server.py).
 
-Run under tmux with `python -i tools/perf_r3.py` so ONE process (one ~10-min
-axon client init) serves the whole round's experiments; drive individual
-experiments from the REPL. NOTE single-client tunnel: check `ps aux` for
-other TPU-backend JAX processes first (CLAUDE.md).
+One process serves the whole round's experiments: start
+`python tools/tpu_server.py` in the background and drop numbered job files
+into /tmp/tpu_jobs/ (no tmux in this image). NOTE single-client tunnel:
+check `ps aux` for other TPU-backend JAX processes first (CLAUDE.md), and
+KILL the server before the driver's bench.py run.
 
 Experiments (call from the REPL):
   E1_parity(name, ...)   on-chip vs interpret allclose for a catalog scene
@@ -74,8 +75,10 @@ def E1_parity(name, w=64, h=36, spp=4, depth=8, atol=2e-3, **kw):
     """On-chip vs interpret-mode render of the same lanes; reports maxdiff.
 
     interpret=True on the TPU backend lowers to XLA ops (no Mosaic), so a
-    mismatch isolates Mosaic-specific divergence (the round-2 striping bug
-    class). Uses robust stats: fraction of lanes beyond atol.
+    mismatch isolates Mosaic-vs-XLA:TPU divergence ONLY. Round 3 showed
+    this check is blind to bugs shared by both (the DEFAULT-matmul
+    precision corruption); use E7_parity_gate (vs CPU staged references)
+    as the real gate, and this as a Mosaic-codegen probe.
     """
     scene, static, cfg, cam = setup(name, w, h, spp, depth)
     seed = jnp.uint32(0)
