@@ -227,6 +227,7 @@ def _unit_vec(u1, u2):
 def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
             width: int, height: int, spp: int, max_depth: int,
             t_min: float, tile_b: int, r_pad: int = 0, r_chunk: int = 0,
+            s_pad: int = 0, s_chunk: int = 0,
             has_sph: bool = True, has_planar: bool = False,
             n_vol: int = 0, ablate: str = "",
             defer_tex: bool = False, emit_paths: bool = False,
@@ -234,12 +235,19 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
     f = jnp.float32
     L = tile_b // 8  # per-ray state is (8, L): full VPU sublane utilization
     assert not (ablate and (defer_tex or emit_paths))
+    n_sch = (s_pad // s_chunk) if (has_sph and s_chunk) else 1
 
     i_ref = 0
     if has_sph:
         tab_ref = refs[i_ref]
         tab_int_ref = refs[i_ref + 1]
         i_ref += 2
+        if n_sch > 1:
+            svab_ref = refs[i_ref]     # (c, 8) SMEM sphere-chunk AABBs
+            i_ref += 1
+            if primary_clist:
+                ctab_s_ref = refs[i_ref]
+                i_ref += 1
     if has_planar:
         tab_pd_ref, tab_po_ref, tab_pg_ref, vab_ref = refs[i_ref:i_ref + 4]
         i_ref += 4
@@ -441,15 +449,16 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                     onehot = jnp.where(tn_all == tn_s,
                                        f(1.0), f(0.0))             # (S, L)
                     # SPLIT gather at DEFAULT (bf16-pass) precision: rows
-                    # [0, P) are the exact f32 params (the bf16 pass rounds
-                    # them to exactly their hi halves), rows [P, 2P) the
-                    # residuals x - bf16(x); summing the two gathered
-                    # blocks reconstructs x to ~8e-6 relative at 1/3 the
-                    # cost of a HIGHEST gather. The intersection matmuls
+                    # [0, P) hold hi = f32(bf16(x)) (bf16-exact, so the
+                    # pass carries them exactly), rows [P, 2P) the
+                    # residuals x - hi; summing the two gathered blocks
+                    # reconstructs x to ~8e-6 relative at 1/3 the cost of
+                    # a HIGHEST gather. (The exact-x block that used to
+                    # lead the table was never read — ADVICE r3.) The intersection matmuls
                     # above stay HIGHEST: DEFAULT there produced 27%% bogus
                     # segments (wrong hit structure, round-3 root cause).
                     param_rows.append(jax.lax.dot_general(
-                        tab_ref[P_ROWS:3 * P_ROWS, :], onehot, dng,
+                        tab_ref[0:2 * P_ROWS, :], onehot, dng,
                         preferred_element_type=f))                 # (2P, L)
 
         def _stack(rows):
@@ -528,7 +537,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                                 f(1.0), f(0.0))
                 if "nogather" not in ablate:
                     p_c = jax.lax.dot_general(
-                        pg[PG_ROWS:3 * PG_ROWS], ohr, dng,
+                        pg[0:2 * PG_ROWS], ohr, dng,
                         preferred_element_type=f)             # (2PG, L)
                     # Winner's in-plane coordinates (normal/UV interp).
                     # Sanitize through `ok` first: padded slots carry
@@ -557,7 +566,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
             for s in range(8):
                 best = planar_chunk(tab_pd_ref[0:pd_rows0, :],
                                     tab_po_ref[0:po_rows0, :],
-                                    tab_pg_ref[0:3 * PG_ROWS, :], s)
+                                    tab_pg_ref[0:2 * PG_ROWS, :], s)
                 # Chunk 0 statically (its outputs give the loop carries
                 # their concrete layouts); remaining chunks in a fori_loop
                 # with dynamic 8-aligned sublane slices, so the unrolled
@@ -597,8 +606,8 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                             trn, p_c, u_c, v_c = planar_chunk(
                                 tab_pd_ref[pl.ds(cI * 8, 8), :],
                                 tab_po_ref[pl.ds(cI * 8, 8), :],
-                                tab_pg_ref[pl.ds(cI * 3 * PG_ROWS,
-                                                 3 * PG_ROWS), :],
+                                tab_pg_ref[pl.ds(cI * 2 * PG_ROWS,
+                                                 2 * PG_ROWS), :],
                                 s)
                             b = jnp.where(trn > btrn, f(1.0), f(0.0))
                             # Exact select, NOT `bp + b*(p_c - bp)`: that
@@ -653,8 +662,8 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                         trn, _, _, _ = planar_chunk(
                             tab_pd_ref[pl.ds(cI * 8, 8), :],
                             tab_po_ref[pl.ds(cI * 8, 8), :],
-                            tab_pg_ref[pl.ds(cI * 3 * PG_ROWS,
-                                             3 * PG_ROWS), :], s)
+                            tab_pg_ref[pl.ds(cI * 2 * PG_ROWS,
+                                             2 * PG_ROWS), :], s)
                         return jnp.maximum(trn, btrn)
 
                     best = (jax.lax.fori_loop(1, n_chunks, chunk_body_t,
@@ -1117,13 +1126,13 @@ def _build_table(scene: SceneData, s_pad: int) -> Array:
         tab = jnp.concatenate([tab, padcol], axis=1)
     elif s_pad < S:  # timing-ablation only: truncated table, wrong image
         tab = tab[:, :s_pad]
-    # Split-gather blocks: rows [P, 2P) hold hi = f32(bf16(x)), rows
-    # [2P, 3P) lo = x - hi. Gathering hi+lo at DEFAULT (bf16-pass)
+    # Split-gather blocks: rows [0, P) hold hi = f32(bf16(x)), rows
+    # [P, 2P) lo = x - hi. Gathering hi+lo at DEFAULT (bf16-pass)
     # precision reconstructs x to ~8e-6 (hi is bf16-representable so the
     # pass is exact on it; lo only rounds at 2^-17 |x|), and on exact
     # backends (CPU tests) hi + lo == x bitwise.
     hi = _bf16_trunc(tab)
-    tab_full = jnp.concatenate([tab, hi, tab - hi], axis=0)
+    tab_full = jnp.concatenate([hi, tab - hi], axis=0)
     # K-split intersection table (kernel comment at the matmuls): each
     # coefficient x = xh + xm + xl (three 8-bit-mantissa bf16 pieces cover
     # the f32 mantissa); paired with 3-way-split features, the six block
@@ -1148,7 +1157,7 @@ def _build_table(scene: SceneData, s_pad: int) -> Array:
 def _build_planar_tables(scene: SceneData, r_pad: int,
                          with_rects: bool, with_tris: bool,
                          r_chunk: int | None = None):
-    """(tab_pd (c*8, 3*rc), tab_po (c*8, 4*rc), tab_pg (c*PG_ROWS, rc))
+    """(tab_pd (c*8, 3*rc), tab_po (c*8, 4*rc), tab_pg (c*2*PG_ROWS, rc))
     with c = r_pad // r_chunk chunks, each chunk's block in its own
     sublane row group.
 
@@ -1316,12 +1325,12 @@ def _build_planar_tables(scene: SceneData, r_pad: int,
     tab_pg = jnp.stack(rows, axis=0).astype(jnp.float32)
     tab_pg = jnp.pad(tab_pg, ((0, PG_ROWS - tab_pg.shape[0]),
                               (0, r_pad - R)))
-    # Split-gather blocks [exact; hi; lo] (see _build_table comment).
+    # Split-gather blocks [hi; lo] (see _build_table comment).
     pg_hi = _bf16_trunc(tab_pg)
-    tab_pg = jnp.concatenate([tab_pg, pg_hi, tab_pg - pg_hi], axis=0)
-    # Same chunk-major sublane stacking: (3PG, r_pad) -> (c*3PG, rc).
-    tab_pg = (tab_pg.reshape(3 * PG_ROWS, c, rc).transpose(1, 0, 2)
-              .reshape(c * 3 * PG_ROWS, rc))
+    tab_pg = jnp.concatenate([pg_hi, tab_pg - pg_hi], axis=0)
+    # Same chunk-major sublane stacking: (2PG, r_pad) -> (c*2PG, rc).
+    tab_pg = (tab_pg.reshape(2 * PG_ROWS, c, rc).transpose(1, 0, 2)
+              .reshape(c * 2 * PG_ROWS, rc))
     return tab_pd, tab_po, tab_pg
 
 
@@ -1558,7 +1567,7 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         tab_full, tab_int = _build_table(scene, s_pad)
         tabs += [tab_full, tab_int]
         tab_specs += [
-            pl.BlockSpec((3 * P_ROWS, s_pad), lambda i: (0, 0),
+            pl.BlockSpec((2 * P_ROWS, s_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((144, s_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1577,7 +1586,7 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((po_rows, 4 * r_chunk), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_ch * 3 * PG_ROWS, r_chunk), lambda i: (0, 0),
+            pl.BlockSpec((n_ch * 2 * PG_ROWS, r_chunk), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
@@ -1687,6 +1696,23 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         dc = d00 + d10 + d11 + d01
         lo_c = vab_arr[:, 0:3]                       # (C, 3)
         hi_c = vab_arr[:, 3:6]
+        # Defocus margin must grow with chunk distance: a lens ray deviates
+        # from the pinhole frustum by |e|*|t/focus - 1| (e = lens offset),
+        # which exceeds lens_radius beyond 2x the focus distance (ADVICE r3
+        # medium: animated_book2's aperture-1.0 camera with ground boxes at
+        # ~2x focus could wrongly cull primary chunks). The viewport center
+        # lies ON the focus plane (camera.rs:47-52 / camera.py:59-61), so
+        # focus_dist = |center - origin|; bound t by the farthest AABB
+        # corner distance per chunk.
+        vp_center = (cam.lower_left + 0.5 * cam.horizontal
+                     + 0.5 * cam.vertical)
+        focus_d = jnp.maximum(jnp.linalg.norm(vp_center - cam.origin), 1e-6)
+        far_sq = sum(
+            jnp.maximum(jnp.abs(lo_c[:, j] - cam.origin[j]),
+                        jnp.abs(hi_c[:, j] - cam.origin[j])) ** 2
+            for j in range(3))
+        defocus_r = cam.lens_radius * jnp.maximum(
+            1.0, jnp.sqrt(far_sq) / focus_d)         # (C,)
         ov = None
         for da, db in ((d00, d10), (d10, d11), (d11, d01), (d01, d00)):
             nrm = jnp.cross(da, db)                  # (T, 3)
@@ -1699,8 +1725,9 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
                 for j in range(3))                   # (T, C)
             maxdot = maxdot - jnp.sum(nrm * cam.origin[None, :], axis=1,
                                       keepdims=True)
-            margin = (cam.lens_radius + 1e-3) * nn + 1e-6
-            okp = (maxdot >= -margin[:, None]) | (nn < 1e-12)[:, None]
+            margin = ((defocus_r[None, :] + 1e-3) * nn[:, None]
+                      + 1e-6)                        # (T, C)
+            okp = (maxdot >= -margin) | (nn < 1e-12)[:, None]
             ov = okp if ov is None else (ov & okp)
         ov = ov[:, 1:]                               # chunk 0 always runs
         order = jnp.argsort(jnp.where(ov, 0, 1).astype(jnp.int32), axis=1,
@@ -1851,14 +1878,16 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
 
 def fused_supported(static: SceneStatic, cfg: RenderConfig) -> bool:
     """The fused megakernel handles this (scene, config)."""
-    # Planar cap: tables are VMEM-resident; with the round-3 split-gather
-    # blocks they cost ~608 bytes/prim (pd 96 + po 128 + pg 3x128), so
-    # ~18k prims ~ 11 MB + chunk planes (~1.8 MB) + ray state fits the
+    # Planar cap: tables are VMEM-resident; with the [hi; lo] split-gather
+    # blocks they cost ~480 bytes/prim (pd 96 + po 128 + pg 2x128), so
+    # ~18k prims ~ 8.6 MB + chunk planes (~1.8 MB) + ray state fits the
     # 16 MB scoped-VMEM limit; suspension (17,190 tris) verified on-chip.
-    # Sphere cap: gather (96 rows) + K-split (144 rows) tables cost
-    # 960 B/sphere and the (s_pad, L) intersection planes 512 B * ~6 live;
-    # 2048 spheres ~ 2 MB tables + 6 MB planes. book2 (1006+pad) is the
-    # largest catalog scene.
+    # Sphere cap: gather (64 rows) + K-split (144 rows) tables cost
+    # 832 B/sphere and the (s_pad, L) intersection planes 512 B * ~6 live;
+    # 2048 spheres ~ 1.7 MB tables + 6 MB planes. book2 (1006+pad) is the
+    # largest catalog scene. (Caps kept at the round-3 verified envelope;
+    # the dropped dead exact block leaves ~2.4 MB headroom at the planar
+    # cap.)
     return (static.fused_simple
             and static.n_spheres <= 2048
             and static.n_rects + static.n_triangles <= 18432

@@ -32,6 +32,7 @@ from jax import Array
 from raytracer_weekend_tpu import materials as mat_mod
 from raytracer_weekend_tpu import textures as tex_mod
 from raytracer_weekend_tpu.config import RenderConfig
+from raytracer_weekend_tpu.ops.pallas.megakernel import _bf16_trunc
 from raytracer_weekend_tpu.ops.sphere import sphere_uv
 from raytracer_weekend_tpu.ops.volume import volume_candidates
 from raytracer_weekend_tpu.scene.data import SceneData, SceneStatic
@@ -42,25 +43,54 @@ _INF = jnp.float32(jnp.inf)
 # Family ids inside the fused kernel's winner codes (fam + 4*idx):
 _C_MISS, _C_SPHERE, _C_PLANAR, _C_VOLUME = 0, 1, 2, 3
 
-# Row-gather tables at or under this row count go through a one-hot matmul
-# instead of jnp indexing: XLA's TPU gather runs on the scalar unit (~10
-# cycles/index) and its scatter-add TRANSPOSE is 4x slower still (E4
-# microbench, BENCH_NOTES r3: gather 4.1 ms vs one-hot 4.0 ms, scatter-add
-# 9.5 ms vs one-hot-transpose 2.5 ms per 1M rows) — and jax.vjp of a
-# one-hot matmul IS the transposed matmul, so the backward rides the MXU
-# for free.
+# Row-gather tables at or under this row count get a custom backward: the
+# forward is an exact XLA gather (on TPU ~10 cycles/index on the scalar
+# unit — comparable to a one-hot matmul: 4.1 ms vs 4.0 ms per 1M rows, E4
+# microbench BENCH_NOTES r3), but the autodiff TRANSPOSE of a gather is a
+# scatter-add, 4x slower (9.5 ms vs 2.5 ms for the one-hot transpose).  So
+# the custom VJP computes the table cotangent as a one-hot matmul on the
+# MXU.  A DEFAULT-precision f32 dot on TPU is a single bf16 pass that
+# rounds BOTH operands to 8-bit mantissas (the round-3 root cause; a plain
+# one-hot forward here rounded sphere centers by ~2^-8 — e.g. 278 off by
+# ~1 — invisibly to the CPU suite).  The one-hot itself is 0/1 and exact
+# in bf16; the cotangent is split into three bf16-representable mantissa
+# pieces (megakernel's integer-masking trick — a bf16 astype round-trip
+# gets folded away on TPU) so every pass is exact and the summed result
+# equals the scatter-add bitwise on exact backends.
 _ONEHOT_MAX_ROWS = 4096
 
 
-def _rows(tab: Array, idx: Array) -> Array:
-    """tab[(idx,)] as a one-hot matmul when the table is small enough."""
-    S = tab.shape[0]
-    if S > _ONEHOT_MAX_ROWS:
-        return tab[idx]
-    # f32 one-hot: bf16 would round the geometry coefficients (8-bit
-    # mantissa) in both the replayed values and their cotangents.
+@jax.custom_vjp
+def _rows_mxu(tab: Array, idx: Array) -> Array:
+    return tab[idx]
+
+
+def _rows_mxu_fwd(tab: Array, idx: Array):
+    return tab[idx], (idx, tab.shape[0])
+
+
+def _rows_mxu_bwd(res, g: Array):
+    idx, S = res
     oh = (idx[:, None] == jnp.arange(S, dtype=idx.dtype)[None, :])
-    return oh.astype(tab.dtype) @ tab
+    oh = oh.astype(g.dtype)
+    gh = _bf16_trunc(g)
+    gm = _bf16_trunc(g - gh)
+    gl = g - gh - gm
+    # One K=3B matmul: [oh;oh;oh].T @ [gh;gm;gl] = oh.T@(gh+gm+gl); each
+    # piece is bf16-exact, so the DEFAULT pass carries it exactly.
+    oh3 = jnp.concatenate([oh, oh, oh], axis=0)
+    g3 = jnp.concatenate([gh, gm, gl], axis=0)
+    return oh3.T @ g3, None
+
+
+_rows_mxu.defvjp(_rows_mxu_fwd, _rows_mxu_bwd)
+
+
+def _rows(tab: Array, idx: Array) -> Array:
+    """tab[(idx,)] with an MXU-transposed backward for small tables."""
+    if tab.shape[0] > _ONEHOT_MAX_ROWS:
+        return tab[idx]
+    return _rows_mxu(tab, idx)
 
 
 def _mat_cols(scene: SceneData, mat: Array):

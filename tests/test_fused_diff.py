@@ -97,3 +97,51 @@ def test_train_step_fused_reduces_loss():
         s, loss = train_step(s, static, cfg, cam, target, rmesh, lr=2.0)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_rows_gather_and_vjp_exact():
+    """replay._rows: forward must equal tab[idx] bitwise and the custom
+    MXU-transposed backward must equal the scatter-add gradient bitwise on
+    exact backends (ADVICE r3 high: a DEFAULT-precision one-hot forward
+    rounded geometry rows to bf16 on TPU). The bf16 mantissa-split pieces
+    must also reconstruct the cotangent exactly — the TPU-exactness
+    precondition, checkable on any backend."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from raytracer_weekend_tpu import replay
+    from raytracer_weekend_tpu.ops.pallas.megakernel import _bf16_trunc
+
+    rng = np.random.default_rng(7)
+    tab = jnp.asarray(rng.normal(size=(37, 21)).astype(np.float32) * 278.0)
+    idx = jnp.asarray(rng.integers(0, 37, size=256), dtype=jnp.int32)
+    g = jnp.asarray(rng.normal(size=(256, 21)).astype(np.float32))
+
+    np.testing.assert_array_equal(np.asarray(replay._rows(tab, idx)),
+                                  np.asarray(tab[idx]))
+
+    # Unique indices: every per-lane contribution is exact (the three
+    # mantissa pieces are disjoint bit ranges, so any summation order
+    # reconstructs g bitwise) -> gradient must equal scatter-add bitwise.
+    uidx = jnp.asarray(rng.permutation(37)[:21], dtype=jnp.int32)
+    gu = jnp.asarray(rng.normal(size=(21, 21)).astype(np.float32))
+    ref_u = jax.vjp(lambda t: t[uidx], tab)[1](gu)[0]
+    got_u = jax.vjp(lambda t: replay._rows(t, uidx), tab)[1](gu)[0]
+    np.testing.assert_array_equal(np.asarray(got_u), np.asarray(ref_u))
+
+    # Duplicate indices accumulate; the MXU sum is a pure reassociation of
+    # the scatter-add's (exact terms, different order) -> close, not
+    # bitwise.
+    ref = jax.vjp(lambda t: t[idx], tab)[1](g)[0]
+    got = jax.vjp(lambda t: replay._rows(t, idx), tab)[1](g)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+    gh = _bf16_trunc(g)
+    gm = _bf16_trunc(g - gh)
+    gl = g - gh - gm
+    np.testing.assert_array_equal(np.asarray(gh + gm + gl), np.asarray(g))
+    # Each piece must be exactly bf16-representable.
+    for piece in (gh, gm):
+        rt = piece.astype(jnp.bfloat16).astype(jnp.float32)
+        np.testing.assert_array_equal(np.asarray(rt), np.asarray(piece))

@@ -2,7 +2,7 @@
 
 One process serves the whole round's experiments: start
 `python tools/tpu_server.py` in the background and drop numbered job files
-into /tmp/tpu_jobs/ (no tmux in this image). NOTE single-client tunnel:
+into /root/repo/.tpu_jobs/ (no tmux in this image). NOTE single-client tunnel:
 check `ps aux` for other TPU-backend JAX processes first (CLAUDE.md), and
 KILL the server before the driver's bench.py run.
 

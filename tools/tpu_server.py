@@ -1,26 +1,34 @@
 """Persistent TPU experiment server: one axon client init, many jobs.
 
 No tmux in this image, so interactive sessions are driven by a file queue:
-drop `NNN.py` files into /tmp/tpu_jobs/ and this process execs them (in
+drop `NNN.py` files into the job dir and this process execs them (in
 submission order) inside the warm perf_r3 namespace, teeing stdout to
 `NNN.out` and touching `NNN.done` (or `NNN.fail`) when finished. State
 (scene caches, compiled kernels) persists across jobs.
 
-    python tools/tpu_server.py   # run_in_background; jobs via /tmp/tpu_jobs
+    python tools/tpu_server.py   # run_in_background; jobs via .tpu_jobs/
+
+The queue lives under the repo (mode 0700, ownership-checked), NOT in
+world-writable /tmp: anything dropped there is exec'd as this uid.
 """
 
 from __future__ import annotations
 
 import io
 import os
+import stat
 import sys
 import time
 import traceback
 
 sys.path.insert(0, "/root/repo")
 
-JOBS = "/tmp/tpu_jobs"
-os.makedirs(JOBS, exist_ok=True)
+JOBS = "/root/repo/.tpu_jobs"
+os.makedirs(JOBS, mode=0o700, exist_ok=True)
+_st = os.stat(JOBS)
+if _st.st_uid != os.getuid() or (_st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)):
+    raise SystemExit(f"refusing job dir {JOBS}: not owned by uid "
+                     f"{os.getuid()} or group/other-writable")
 
 t0 = time.time()
 import tools.perf_r3 as R  # noqa: E402  (pays the axon init)
