@@ -251,7 +251,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
     if has_planar:
         tab_pd_ref, tab_po_ref, tab_pg_ref, vab_ref = refs[i_ref:i_ref + 4]
         i_ref += 4
-        if primary_clist:
+        if primary_clist and r_pad // r_chunk > 1:
             # (1, n_chunks) SMEM row for THIS tile: [count, chunk ids...] —
             # the chunks (excluding the always-processed chunk 0) whose
             # AABB overlaps the tile's primary-ray frustum (host prepass).
@@ -418,48 +418,147 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                                            axis=0)
                 f1 = blocks(s1, 8)                                 # (64, L)
                 f2 = blocks(s2, 0)                                 # (80, L)
-                m1 = jax.lax.dot_general(tab_int_ref[0:64, :], f1,
-                                         dn, preferred_element_type=f)
-                c_term = jax.lax.dot_general(tab_int_ref[64:144, :],
-                                             f2, dn,
+
+                def sphere_chunk(ti, tg, f1=f1, f2=f2):
+                    # ti (144, sc) K-split table block; tg (2P, sc) gather
+                    # blocks. Returns (chunk-best -t*a (1, L), gathered
+                    # winner params (2P, L) or None under 'nogather').
+                    m1 = jax.lax.dot_general(ti[0:64, :], f1, dn,
                                              preferred_element_type=f)
-
-                disc = m1 * m1 - R(a) * c_term                  # (S, L)
-                # No explicit disc>0 guard: sqrt(neg) = NaN, NaN comparisons
-                # are false, so misses fall through to -BIG naturally
-                # (tangent disc==0 now counts as a hit — measure zero).
-                sqrtd = jnp.sqrt(disc)
-                # Scaled-root domain: root_k = -p_k / a with a > 0, so
-                # compares and the nearest-hit reduction run on p_k directly
-                # (no divides): root >= t_min <=> p <= -t_min*a; min_t <=>
-                # max_p. Near root p1 = sqrtd - m1 is valid iff
-                # sqrtd <= m1 + nta; select on sqrtd before the shared -m1
-                # (one plane op fewer than forming both p1 and p2).
-                nta = R(neg_tmin_a)
-                ssel = jnp.where(sqrtd <= m1 + nta, sqrtd, -sqrtd)
-                sel = ssel - m1
-                tn_all = jnp.where(sel <= nta, sel, f(-_BIG))     # (S, L)
-
-                tn_s = jnp.max(tn_all, axis=0, keepdims=True)     # (1, L)
-                tn_rows.append(tn_s)
-                if "nogather" not in ablate:
-                    # No miss guard: on an all-miss lane tn_s == -BIG matches
-                    # every column and the gather sums the whole table —
-                    # finite garbage on a lane that `hit`/`alive` masks out.
-                    onehot = jnp.where(tn_all == tn_s,
-                                       f(1.0), f(0.0))             # (S, L)
+                    c_term = jax.lax.dot_general(ti[64:144, :], f2, dn,
+                                                 preferred_element_type=f)
+                    disc = m1 * m1 - R(a) * c_term              # (sc, L)
+                    # No explicit disc>0 guard: sqrt(neg) = NaN, NaN
+                    # comparisons are false, so misses fall through to
+                    # -BIG naturally (tangent disc==0 now counts as a hit
+                    # — measure zero).
+                    sqrtd = jnp.sqrt(disc)
+                    # Scaled-root domain: root_k = -p_k / a with a > 0, so
+                    # compares and the nearest-hit reduction run on p_k
+                    # directly (no divides): root >= t_min <=> p <=
+                    # -t_min*a; min_t <=> max_p. Near root p1 = sqrtd - m1
+                    # is valid iff sqrtd <= m1 + nta; select on sqrtd
+                    # before the shared -m1 (one plane op fewer than
+                    # forming both p1 and p2).
+                    nta = R(neg_tmin_a)
+                    ssel = jnp.where(sqrtd <= m1 + nta, sqrtd, -sqrtd)
+                    sel = ssel - m1
+                    tn_all = jnp.where(sel <= nta, sel, f(-_BIG))  # (sc, L)
+                    tn_s = jnp.max(tn_all, axis=0, keepdims=True)  # (1, L)
+                    if "nogather" in ablate:
+                        return tn_s, None
+                    # Miss guard: the chunked cross-select below needs an
+                    # all-miss chunk to contribute exact zeros (an all-miss
+                    # lane otherwise matches every column and gathers
+                    # finite garbage — harmless single-chunk where
+                    # hit/alive masks it, poisonous across chunks).
+                    onehot = jnp.where((tn_all == tn_s)
+                                       & (tn_s > f(-1.0e37)),
+                                       f(1.0), f(0.0))             # (sc, L)
                     # SPLIT gather at DEFAULT (bf16-pass) precision: rows
                     # [0, P) hold hi = f32(bf16(x)) (bf16-exact, so the
                     # pass carries them exactly), rows [P, 2P) the
                     # residuals x - hi; summing the two gathered blocks
                     # reconstructs x to ~8e-6 relative at 1/3 the cost of
-                    # a HIGHEST gather. (The exact-x block that used to
-                    # lead the table was never read — ADVICE r3.) The intersection matmuls
-                    # above stay HIGHEST: DEFAULT there produced 27%% bogus
+                    # a HIGHEST gather. The intersection matmuls above
+                    # stay K-split: DEFAULT there produced 27%% bogus
                     # segments (wrong hit structure, round-3 root cause).
-                    param_rows.append(jax.lax.dot_general(
-                        tab_ref[0:2 * P_ROWS, :], onehot, dng,
-                        preferred_element_type=f))                 # (2P, L)
+                    p_c = jax.lax.dot_general(tg[0:2 * P_ROWS, :], onehot,
+                                              dng,
+                                              preferred_element_type=f)
+                    return tn_s, p_c                               # (2P, L)
+
+                best = sphere_chunk(tab_int_ref[0:144, :],
+                                    tab_ref[0:2 * P_ROWS, :])
+                if n_sch > 1:
+                    # Chunked sphere walk (round 4): Morton-ordered sphere
+                    # chunks with a per-row slab cull against the chunk
+                    # AABB and the row's current best t, mirroring the
+                    # planar chunk walk below (same one-cond-per-fori-body
+                    # compile constraint). Bounce 0 walks the host
+                    # prepass's compacted frustum chunk list.
+                    aI = R(a)
+                    sivx = 1.0 / R(dx)
+                    sivy = 1.0 / R(dy)
+                    sivz = 1.0 / R(dz)
+                    soxr, soyr, sozr = R(ox), R(oy), R(oz)
+                    salive = R(alive_m)
+
+                    def s_chunk_body(cK, carry, aI=aI, sivx=sivx,
+                                     sivy=sivy, sivz=sivz, soxr=soxr,
+                                     soyr=soyr, sozr=sozr, salive=salive,
+                                     sphere_chunk=sphere_chunk):
+                        btn = carry[0]
+                        if primary_clist:
+                            cI = jnp.where(i == 0,
+                                           ctab_s_ref[0, 0, 1 + cK],
+                                           cK + 1)
+                        else:
+                            cI = cK
+
+                        def s_heavy(carry):
+                            btn, bp = carry
+                            trn, p_c = sphere_chunk(
+                                tab_int_ref[pl.ds(cI * 144, 144), :],
+                                tab_ref[pl.ds(cI * 2 * P_ROWS,
+                                              2 * P_ROWS), :])
+                            b = jnp.where(trn > btn, f(1.0), f(0.0))
+                            # Exact select (not a lerp) — see the planar
+                            # walk's winner-blend comment.
+                            return (jnp.maximum(trn, btn),
+                                    bp * (1.0 - b) + p_c * b)
+
+                        def s_heavy_t(carry):
+                            trn, _ = sphere_chunk(
+                                tab_int_ref[pl.ds(cI * 144, 144), :],
+                                tab_ref[pl.ds(cI * 2 * P_ROWS,
+                                              2 * P_ROWS), :])
+                            return (jnp.maximum(trn, carry[0]),)
+
+                        heavy = (s_heavy_t if "nogather" in ablate
+                                 else s_heavy)
+                        if "nocull" in ablate:
+                            return heavy(carry)
+                        bx0 = (svab_ref[cI, 0] - soxr) * sivx
+                        bx1 = (svab_ref[cI, 3] - soxr) * sivx
+                        by0 = (svab_ref[cI, 1] - soyr) * sivy
+                        by1 = (svab_ref[cI, 4] - soyr) * sivy
+                        bz0 = (svab_ref[cI, 2] - sozr) * sivz
+                        bz1 = (svab_ref[cI, 5] - sozr) * sivz
+                        en = jnp.maximum(
+                            jnp.maximum(jnp.minimum(bx0, bx1),
+                                        jnp.minimum(by0, by1)),
+                            jnp.minimum(bz0, bz1))
+                        ex = jnp.minimum(
+                            jnp.minimum(jnp.maximum(bx0, bx1),
+                                        jnp.maximum(by0, by1)),
+                            jnp.maximum(bz0, bz1))
+                        # Chunk matters only for a live lane whose ray
+                        # crosses the box past t_min and before its
+                        # current best (p = -t*a domain: t = -btn/a).
+                        tcur = jnp.where(btn > f(-1.0e37), -btn / aI,
+                                         f(_BIG))
+                        may = ((en <= ex) & (ex >= f(t_min))
+                               & (salive > 0.0) & (en < tcur))
+                        mayf = jnp.where(may, f(1.0), f(0.0))
+                        return jax.lax.cond(jnp.max(mayf) > 0.0, heavy,
+                                            lambda c: c, carry)
+
+                    if "nogather" in ablate:
+                        best = (best[0],)
+                    if primary_clist:
+                        s_count = jnp.where(i == 0, ctab_s_ref[0, 0, 0],
+                                            jnp.int32(n_sch - 1))
+                        best = jax.lax.fori_loop(0, s_count, s_chunk_body,
+                                                 best)
+                    else:
+                        best = jax.lax.fori_loop(1, n_sch, s_chunk_body,
+                                                 best)
+                    if "nogather" in ablate:
+                        best = (best[0], None)
+                tn_rows.append(best[0])
+                if "nogather" not in ablate:
+                    param_rows.append(best[1])
 
         def _stack(rows):
             return jnp.concatenate(rows, axis=0)                  # (8, L)
@@ -1072,8 +1171,14 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
 # Host-side wrapper
 # --------------------------------------------------------------------------
 
-def _build_table(scene: SceneData, s_pad: int) -> Array:
-    """Assemble the (P_ROWS, s_pad) per-sphere coefficient/gather table."""
+def _build_table(scene: SceneData, s_pad: int,
+                 s_chunk: int | None = None) -> Array:
+    """Assemble the per-sphere coefficient/gather tables.
+
+    Returns (tab_full (2P, s_pad), tab_int (144, s_pad)); when s_chunk
+    divides s_pad into c > 1 chunks, both are restacked chunk-major into
+    (c*2P, s_chunk) / (c*144, s_chunk) with chunk cI's block in its own
+    sublane row group (same layout discipline as _build_planar_tables)."""
     sp = scene.spheres
     mt = scene.materials
     tx = scene.textures
@@ -1151,7 +1256,41 @@ def _build_table(scene: SceneData, s_pad: int) -> Array:
     tab_int = jnp.concatenate(
         [_ksplit(tab[_R_AX:_R_ODOTD + 1], 64),
          _ksplit(tab[_R_M2AX:_R_OSQ + 1], 80)], axis=0)  # (144, s_pad)
+    if s_chunk and s_chunk < s_pad:
+        c = s_pad // s_chunk
+
+        def _cs(t):
+            rows = t.shape[0]
+            return (t.reshape(rows, c, s_chunk).transpose(1, 0, 2)
+                    .reshape(c * rows, s_chunk))
+
+        tab_full, tab_int = _cs(tab_full), _cs(tab_int)
     return tab_full, tab_int
+
+
+def _sphere_chunk_aabbs(scene: SceneData, s_pad: int,
+                        s_chunk: int) -> Array:
+    """(c, 8) per-chunk sphere AABBs [bmin xyz, bmax xyz, 0, 0] for the
+    in-kernel chunk cull (SMEM scalars). Builder Morton order makes chunks
+    spatially compact; a moving sphere is bounded by the union of its
+    endpoint boxes (spherical.rs:130-150 semantics — exact for shutter
+    times within [t0, t1], which every reference scene satisfies).
+    Negative-radius (hollow-glass) shells bound by |r|. Invalid/padded
+    slots carry an inverted box so all-padding chunks always cull."""
+    sp = scene.spheres
+    r = jnp.abs(sp.radius)[:, None]
+    lo = jnp.minimum(sp.c0, sp.c1) - r
+    hi = jnp.maximum(sp.c0, sp.c1) + r
+    lo = jnp.where(sp.valid[:, None], lo, jnp.inf)
+    hi = jnp.where(sp.valid[:, None], hi, -jnp.inf)
+    S = lo.shape[0]
+    lo = jnp.pad(lo, ((0, s_pad - S), (0, 0)), constant_values=jnp.inf)
+    hi = jnp.pad(hi, ((0, s_pad - S), (0, 0)), constant_values=-jnp.inf)
+    c = s_pad // s_chunk
+    lo = lo.reshape(c, s_chunk, 3).min(axis=1)
+    hi = hi.reshape(c, s_chunk, 3).max(axis=1)
+    tab = jnp.concatenate([lo, hi, jnp.zeros((c, 2), jnp.float32)], axis=1)
+    return jax.lax.stop_gradient(tab)
 
 
 def _build_planar_tables(scene: SceneData, r_pad: int,
@@ -1485,7 +1624,8 @@ def _tile_b(s_pad: int) -> int:
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_chunk", "interpret",
                                     "tile_override", "s_pad_override",
-                                    "r_chunk_override", "ablate", "static",
+                                    "r_chunk_override", "s_chunk_override",
+                                    "ablate", "static",
                                     "defer_tex", "emit_paths"))
 def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  lane_start, n_chunk: int, seed,
@@ -1493,6 +1633,7 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  tile_override: int | None = None,
                  s_pad_override: int | None = None,
                  r_chunk_override: int | None = None,
+                 s_chunk_override: int | None = None,
                  ablate: str = "",
                  static: SceneStatic | None = None,
                  defer_tex: bool | None = None,
@@ -1531,11 +1672,29 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
                          and (static.has_noise or static.has_image))
     s_pad = s_pad_override or _round_up(max(S, 128), 128)
     r_pad0 = _round_up(max(n_planar, 128), 128) if has_planar else 0
+    # Sphere chunking (round 4): Morton-ordered 128-sphere chunks walked
+    # with per-row AABB culls + a bounce-0 frustum chunk list, so most
+    # rays test far fewer than s_pad spheres (round-2 ablation: the
+    # S-dependent planes were ~79% of the jumpy frame at s_pad=512).
+    # Chunk only past 2 chunks' worth — a 2-chunk split pays the walk
+    # overhead for little cullable volume.
+    if s_chunk_override is not None:
+        s_chunk = s_chunk_override
+    else:
+        env_sc = os.environ.get("RTW_S_CHUNK")
+        if env_sc is not None:
+            s_chunk = int(env_sc)
+        else:
+            s_chunk = 128 if (has_sph and s_pad >= 384) else 0
+    if s_chunk:
+        s_pad = _round_up(s_pad, s_chunk)
+    n_sch = (s_pad // s_chunk) if s_chunk else 1
+    s_eff = s_chunk if n_sch > 1 else s_pad
     # (8, L) state needs tile_b = 8*L with L a lane multiple: tile % 1024.
     # Chunking bounds the per-chunk plane height, so tile sizing sees the
     # chunk, not the full primitive count.
     tile_b = _round_up(tile_override
-                       or _tile_b(max(s_pad, min(r_pad0, 2048))), 1024)
+                       or _tile_b(max(s_eff, min(r_pad0, 2048))), 1024)
     # Aux output blocks are (rows_per_depth * max_depth, L): bound their
     # VMEM share at ~4 MB by shrinking the ray tile for deep renders.
     aux_rows = (56 if defer_tex else 0) + (8 if emit_paths else 0)
@@ -1563,15 +1722,22 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         r_chunk = r_pad = 0
 
     tabs, tab_specs = [], []
+    ctab_s_pos = ctab_p_pos = None
     if has_sph:
-        tab_full, tab_int = _build_table(scene, s_pad)
+        tab_full, tab_int = _build_table(
+            scene, s_pad, s_chunk if n_sch > 1 else None)
         tabs += [tab_full, tab_int]
         tab_specs += [
-            pl.BlockSpec((2 * P_ROWS, s_pad), lambda i: (0, 0),
+            pl.BlockSpec((n_sch * 2 * P_ROWS, s_eff), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((144, s_pad), lambda i: (0, 0),
+            pl.BlockSpec((n_sch * 144, s_eff), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
+        if n_sch > 1:
+            svab_arr = _sphere_chunk_aabbs(scene, s_pad, s_chunk)
+            tabs.append(svab_arr)
+            tab_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            ctab_s_pos = len(tabs)
     if has_planar:
         tab_pd, tab_po, tab_pg = _build_planar_tables(
             scene, r_pad, with_rects, with_tris, r_chunk)
@@ -1579,6 +1745,7 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         vab_arr = _planar_chunk_aabbs(scene, r_pad, r_chunk,
                                       with_rects, with_tris)
         tabs += [tab_pd, tab_po, tab_pg, vab_arr]
+        ctab_p_pos = len(tabs)
         pd_rows = 24 if n_ch == 1 else n_ch * 8
         po_rows = 32 if n_ch == 1 else n_ch * 8
         tab_specs += [
@@ -1618,7 +1785,8 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     # single-chunk and 1-device shard both pass lane_start = 0 there); the
     # chunked shard path keeps scanline order.
     n_chunks_st = (r_pad // r_chunk) if has_planar else 0
-    block_tiling = (n_chunks_st > 1 and "notile" not in ablate
+    block_tiling = ((n_chunks_st > 1 or n_sch > 1)
+                    and "notile" not in ablate
                     and n_chunk == cfg.n_rays)
     if block_tiling:
         # The permutation depends only on static shape config, so build it
@@ -1694,8 +1862,6 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         d11 = _dirc(s_hi, t_hi)
         d01 = _dirc(s_lo, t_hi)
         dc = d00 + d10 + d11 + d01
-        lo_c = vab_arr[:, 0:3]                       # (C, 3)
-        hi_c = vab_arr[:, 3:6]
         # Defocus margin must grow with chunk distance: a lens ray deviates
         # from the pinhole frustum by |e|*|t/focus - 1| (e = lens offset),
         # which exceeds lens_radius beyond 2x the focus distance (ADVICE r3
@@ -1707,41 +1873,51 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         vp_center = (cam.lower_left + 0.5 * cam.horizontal
                      + 0.5 * cam.vertical)
         focus_d = jnp.maximum(jnp.linalg.norm(vp_center - cam.origin), 1e-6)
-        far_sq = sum(
-            jnp.maximum(jnp.abs(lo_c[:, j] - cam.origin[j]),
-                        jnp.abs(hi_c[:, j] - cam.origin[j])) ** 2
-            for j in range(3))
-        defocus_r = cam.lens_radius * jnp.maximum(
-            1.0, jnp.sqrt(far_sq) / focus_d)         # (C,)
-        ov = None
-        for da, db in ((d00, d10), (d10, d11), (d11, d01), (d01, d00)):
-            nrm = jnp.cross(da, db)                  # (T, 3)
-            nrm = nrm * jnp.sign(jnp.sum(nrm * dc, axis=1,
-                                         keepdims=True))
-            nn = jnp.linalg.norm(nrm, axis=1)
-            maxdot = sum(
-                jnp.maximum(nrm[:, j:j + 1] * lo_c[None, :, j],
-                            nrm[:, j:j + 1] * hi_c[None, :, j])
-                for j in range(3))                   # (T, C)
-            maxdot = maxdot - jnp.sum(nrm * cam.origin[None, :], axis=1,
-                                      keepdims=True)
-            margin = ((defocus_r[None, :] + 1e-3) * nn[:, None]
-                      + 1e-6)                        # (T, C)
-            okp = (maxdot >= -margin) | (nn < 1e-12)[:, None]
-            ov = okp if ov is None else (ov & okp)
-        ov = ov[:, 1:]                               # chunk 0 always runs
-        order = jnp.argsort(jnp.where(ov, 0, 1).astype(jnp.int32), axis=1,
-                            stable=True)
-        ctab = jnp.concatenate(
-            [jnp.sum(ov, axis=1, dtype=jnp.int32)[:, None],
-             (order + 1).astype(jnp.int32)], axis=1)[:, None, :]
-        # (T, 1, n_ch): SMEM blocks need the last two dims to equal the
-        # array dims, so the tile axis leads.
+
+        def _mk_ctab(ab_arr):
+            # (C, 8) chunk AABBs -> (T, 1, C) SMEM [count, chunk ids...]
+            # per tile (chunk 0 excluded — always walked).
+            lo_c = ab_arr[:, 0:3]                    # (C, 3)
+            hi_c = ab_arr[:, 3:6]
+            far_sq = sum(
+                jnp.maximum(jnp.abs(lo_c[:, j] - cam.origin[j]),
+                            jnp.abs(hi_c[:, j] - cam.origin[j])) ** 2
+                for j in range(3))
+            defocus_r = cam.lens_radius * jnp.maximum(
+                1.0, jnp.sqrt(far_sq) / focus_d)     # (C,)
+            ov = None
+            for da, db in ((d00, d10), (d10, d11), (d11, d01), (d01, d00)):
+                nrm = jnp.cross(da, db)              # (T, 3)
+                nrm = nrm * jnp.sign(jnp.sum(nrm * dc, axis=1,
+                                             keepdims=True))
+                nn = jnp.linalg.norm(nrm, axis=1)
+                maxdot = sum(
+                    jnp.maximum(nrm[:, j:j + 1] * lo_c[None, :, j],
+                                nrm[:, j:j + 1] * hi_c[None, :, j])
+                    for j in range(3))               # (T, C)
+                maxdot = maxdot - jnp.sum(nrm * cam.origin[None, :],
+                                          axis=1, keepdims=True)
+                margin = ((defocus_r[None, :] + 1e-3) * nn[:, None]
+                          + 1e-6)                    # (T, C)
+                okp = (maxdot >= -margin) | (nn < 1e-12)[:, None]
+                ov = okp if ov is None else (ov & okp)
+            ov = ov[:, 1:]                           # chunk 0 always runs
+            order = jnp.argsort(jnp.where(ov, 0, 1).astype(jnp.int32),
+                                axis=1, stable=True)
+            return jnp.concatenate(
+                [jnp.sum(ov, axis=1, dtype=jnp.int32)[:, None],
+                 (order + 1).astype(jnp.int32)], axis=1)[:, None, :]
+            # (T, 1, n_ch): SMEM blocks need the last two dims to equal
+            # the array dims, so the tile axis leads.
+
+        ctab = _mk_ctab(vab_arr) if n_chunks_st > 1 else None
+        ctab_s = _mk_ctab(svab_arr) if n_sch > 1 else None
 
     kernel = functools.partial(
         _kernel, width=cfg.width, height=cfg.height,
         spp=cfg.samples_per_pixel, max_depth=cfg.max_depth,
         t_min=cfg.t_min, tile_b=tile_b, r_pad=r_pad, r_chunk=r_chunk,
+        s_pad=s_pad, s_chunk=s_chunk,
         has_sph=has_sph, has_planar=has_planar, n_vol=n_vol, ablate=ablate,
         defer_tex=defer_tex, emit_paths=emit_paths,
         primary_clist=primary_clist)
@@ -1779,16 +1955,23 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     slab_tiles = max(1, min(n_tiles, budget // (rows_out * lanes_l)))
     n_slabs = -(-n_tiles // slab_tiles)
 
-    # ctab rides with the tile-indexed inputs (its block index is the tile
-    # id, which restarts at 0 per slab — so it is sliced per slab too).
-    ctab_pos = ((2 if has_sph else 0) + 4) if primary_clist else None
+    # ctabs ride with the tile-indexed inputs (their block index is the
+    # tile id, which restarts at 0 per slab — so they are sliced per slab
+    # too). Each (pos, n_ch) pair inserts after its family's tables;
+    # inserting highest position first keeps earlier positions valid.
+    ct_inserts = []          # [(pos, n_chunks, full_ctab_array)]
+    if primary_clist:
+        if ctab_s_pos is not None and n_sch > 1:
+            ct_inserts.append((ctab_s_pos, n_sch, ctab_s))
+        if ctab_p_pos is not None and n_chunks_st > 1:
+            ct_inserts.append((ctab_p_pos, n_chunks_st, ctab))
+        ct_inserts.sort(key=lambda t: t[0], reverse=True)
 
-    def call_slab(colrow_k, rid_k, ctab_k, gk):
+    def call_slab(colrow_k, rid_k, ctabs_k, gk):
         tabs_k, specs_k = list(tabs), list(tab_specs)
-        if primary_clist:
-            n_ch_c = r_pad // r_chunk
-            tabs_k.insert(ctab_pos, ctab_k)
-            specs_k.insert(ctab_pos,
+        for (pos, n_ch_c, _), arr_k in zip(ct_inserts, ctabs_k):
+            tabs_k.insert(pos, arr_k)
+            specs_k.insert(pos,
                            pl.BlockSpec((1, 1, n_ch_c), lambda i: (i, 0, 0),
                                         memory_space=pltpu.SMEM))
         return pl.pallas_call(
@@ -1816,7 +1999,7 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
 
     if n_slabs == 1:
         rad, seg, *aux = call_slab(colrow, ridp,
-                                   ctab if primary_clist else None, n_tiles)
+                                   [a for _, _, a in ct_inserts], n_tiles)
     else:
         outs = []
         for k in range(n_slabs):
@@ -1826,8 +2009,8 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
             # against the global window), so slabs just slice the planes.
             colrow_k = colrow[:, g0 * lanes_l:(g0 + gk) * lanes_l]
             rid_k = ridp[:, g0 * lanes_l:(g0 + gk) * lanes_l]
-            ctab_k = ctab[g0:g0 + gk] if primary_clist else None
-            outs.append(call_slab(colrow_k, rid_k, ctab_k, gk))
+            ctabs_k = [a[g0:g0 + gk] for _, _, a in ct_inserts]
+            outs.append(call_slab(colrow_k, rid_k, ctabs_k, gk))
         # Tiles are independent; concatenating slab outputs along the lane
         # axis reassembles the full (rows, n_tiles*L) planes in tile order.
         rad, seg, *aux = (jnp.concatenate(parts, axis=1)
