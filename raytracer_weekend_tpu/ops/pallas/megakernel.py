@@ -231,7 +231,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
             has_sph: bool = True, has_planar: bool = False,
             n_vol: int = 0, ablate: str = "",
             defer_tex: bool = False, emit_paths: bool = False,
-            primary_clist: bool = False):
+            primary_clist: bool = False, p_k: int = 0):
     f = jnp.float32
     L = tile_b // 8  # per-ray state is (8, L): full VPU sublane utilization
     assert not (ablate and (defer_tex or emit_paths))
@@ -242,6 +242,12 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
         tab_ref = refs[i_ref]
         tab_int_ref = refs[i_ref + 1]
         i_ref += 2
+        if p_k:
+            # Peeled-primary per-tile tables: THIS tile's frustum-
+            # compacted sphere set (p_k columns), used for the statically
+            # unrolled bounce 0 only (host prepass, render_fused wrapper).
+            ptab_ref, ptab_int_ref = refs[i_ref:i_ref + 2]
+            i_ref += 2
         if n_sch > 1:
             svab_ref = refs[i_ref]     # (c, 8) SMEM sphere-chunk AABBs
             i_ref += 1
@@ -357,7 +363,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
         i, *_, alive_m, _seg = st
         return (i < max_depth) & (jnp.max(alive_m) > 0.0)
 
-    def body(st):
+    def body(st, primary: bool = False):
         (i, ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr_, rg_, rb_,
          alive_m, seg) = st
         alive = alive_m > 0.0
@@ -386,10 +392,11 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
 
         dn = (((0,), (0,)), ((), ()))  # contract the feature axis
         dng = (((1,), (0,)), ((), ()))  # contract the S axis
-        tn_rows, param_rows = [], []
+        tn_rows, param_rows, sph_fns = [], [], []
         for s in range(8):
-            def R(v):
-                return v[s:s + 1, :]           # sublane row s -> (1, L)
+            def R(v, s=s):                     # s pinned: R is also called
+                return v[s:s + 1, :]           # from the post-loop chunk
+                                               # fori via sph_fns
 
             if has_sph:
                 # K-SPLIT intersection matmuls at DEFAULT precision: the
@@ -419,7 +426,10 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                 f1 = blocks(s1, 8)                                 # (64, L)
                 f2 = blocks(s2, 0)                                 # (80, L)
 
-                def sphere_chunk(ti, tg, f1=f1, f2=f2):
+                def sphere_chunk(ti, tg, f1=f1, f2=f2, R=R):
+                    # (f1/f2/R bound by default args: these fns are called
+                    # from the tile-level chunk fori AFTER this loop, where
+                    # a late-bound closure would pin every row to s == 7.)
                     # ti (144, sc) K-split table block; tg (2P, sc) gather
                     # blocks. Returns (chunk-best -t*a (1, L), gathered
                     # winner params (2P, L) or None under 'nogather').
@@ -447,14 +457,17 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                     tn_s = jnp.max(tn_all, axis=0, keepdims=True)  # (1, L)
                     if "nogather" in ablate:
                         return tn_s, None
-                    # Miss guard: the chunked cross-select below needs an
-                    # all-miss chunk to contribute exact zeros (an all-miss
-                    # lane otherwise matches every column and gathers
-                    # finite garbage — harmless single-chunk where
-                    # hit/alive masks it, poisonous across chunks).
-                    onehot = jnp.where((tn_all == tn_s)
-                                       & (tn_s > f(-1.0e37)),
-                                       f(1.0), f(0.0))             # (sc, L)
+                    # Miss guard only when chunked: the cross-chunk
+                    # select needs an all-miss chunk to contribute exact
+                    # zeros. Single-chunk skips the guard — an all-miss
+                    # lane matches every column and gathers finite
+                    # garbage, which hit/alive masks out — saving one
+                    # (sc, L) op in the hot pipeline.
+                    if n_sch > 1:
+                        ohmask = (tn_all == tn_s) & (tn_s > f(-1.0e37))
+                    else:
+                        ohmask = tn_all == tn_s
+                    onehot = jnp.where(ohmask, f(1.0), f(0.0))     # (sc, L)
                     # SPLIT gather at DEFAULT (bf16-pass) precision: rows
                     # [0, P) hold hi = f32(bf16(x)) (bf16-exact, so the
                     # pass carries them exactly), rows [P, 2P) the
@@ -468,97 +481,95 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                                               preferred_element_type=f)
                     return tn_s, p_c                               # (2P, L)
 
-                best = sphere_chunk(tab_int_ref[0:144, :],
-                                    tab_ref[0:2 * P_ROWS, :])
-                if n_sch > 1:
-                    # Chunked sphere walk (round 4): Morton-ordered sphere
-                    # chunks with a per-row slab cull against the chunk
-                    # AABB and the row's current best t, mirroring the
-                    # planar chunk walk below (same one-cond-per-fori-body
-                    # compile constraint). Bounce 0 walks the host
-                    # prepass's compacted frustum chunk list.
-                    aI = R(a)
-                    sivx = 1.0 / R(dx)
-                    sivy = 1.0 / R(dy)
-                    sivz = 1.0 / R(dz)
-                    soxr, soyr, sozr = R(ox), R(oy), R(oz)
-                    salive = R(alive_m)
-
-                    def s_chunk_body(cK, carry, aI=aI, sivx=sivx,
-                                     sivy=sivy, sivz=sivz, soxr=soxr,
-                                     soyr=soyr, sozr=sozr, salive=salive,
-                                     sphere_chunk=sphere_chunk):
-                        btn = carry[0]
-                        if primary_clist:
-                            cI = jnp.where(i == 0,
-                                           ctab_s_ref[0, 0, 1 + cK],
-                                           cK + 1)
-                        else:
-                            cI = cK
-
-                        def s_heavy(carry):
-                            btn, bp = carry
-                            trn, p_c = sphere_chunk(
-                                tab_int_ref[pl.ds(cI * 144, 144), :],
-                                tab_ref[pl.ds(cI * 2 * P_ROWS,
-                                              2 * P_ROWS), :])
-                            b = jnp.where(trn > btn, f(1.0), f(0.0))
-                            # Exact select (not a lerp) — see the planar
-                            # walk's winner-blend comment.
-                            return (jnp.maximum(trn, btn),
-                                    bp * (1.0 - b) + p_c * b)
-
-                        def s_heavy_t(carry):
-                            trn, _ = sphere_chunk(
-                                tab_int_ref[pl.ds(cI * 144, 144), :],
-                                tab_ref[pl.ds(cI * 2 * P_ROWS,
-                                              2 * P_ROWS), :])
-                            return (jnp.maximum(trn, carry[0]),)
-
-                        heavy = (s_heavy_t if "nogather" in ablate
-                                 else s_heavy)
-                        if "nocull" in ablate:
-                            return heavy(carry)
-                        bx0 = (svab_ref[cI, 0] - soxr) * sivx
-                        bx1 = (svab_ref[cI, 3] - soxr) * sivx
-                        by0 = (svab_ref[cI, 1] - soyr) * sivy
-                        by1 = (svab_ref[cI, 4] - soyr) * sivy
-                        bz0 = (svab_ref[cI, 2] - sozr) * sivz
-                        bz1 = (svab_ref[cI, 5] - sozr) * sivz
-                        en = jnp.maximum(
-                            jnp.maximum(jnp.minimum(bx0, bx1),
-                                        jnp.minimum(by0, by1)),
-                            jnp.minimum(bz0, bz1))
-                        ex = jnp.minimum(
-                            jnp.minimum(jnp.maximum(bx0, bx1),
-                                        jnp.maximum(by0, by1)),
-                            jnp.maximum(bz0, bz1))
-                        # Chunk matters only for a live lane whose ray
-                        # crosses the box past t_min and before its
-                        # current best (p = -t*a domain: t = -btn/a).
-                        tcur = jnp.where(btn > f(-1.0e37), -btn / aI,
-                                         f(_BIG))
-                        may = ((en <= ex) & (ex >= f(t_min))
-                               & (salive > 0.0) & (en < tcur))
-                        mayf = jnp.where(may, f(1.0), f(0.0))
-                        return jax.lax.cond(jnp.max(mayf) > 0.0, heavy,
-                                            lambda c: c, carry)
-
-                    if "nogather" in ablate:
-                        best = (best[0],)
-                    if primary_clist:
-                        s_count = jnp.where(i == 0, ctab_s_ref[0, 0, 0],
-                                            jnp.int32(n_sch - 1))
-                        best = jax.lax.fori_loop(0, s_count, s_chunk_body,
-                                                 best)
-                    else:
-                        best = jax.lax.fori_loop(1, n_sch, s_chunk_body,
-                                                 best)
-                    if "nogather" in ablate:
-                        best = (best[0], None)
+                sph_fns.append(sphere_chunk)
+                if primary and p_k:
+                    # Peeled bounce 0: intersect only THIS tile's
+                    # frustum-compacted sphere set (p_k columns instead
+                    # of s_pad) — conservative host prepass, so the
+                    # winner matches the full-table search exactly.
+                    best = sphere_chunk(ptab_int_ref[0:144, :],
+                                        ptab_ref[0:2 * P_ROWS, :])
+                else:
+                    best = sphere_chunk(tab_int_ref[0:144, :],
+                                        tab_ref[0:2 * P_ROWS, :])
                 tn_rows.append(best[0])
                 if "nogather" not in ablate:
                     param_rows.append(best[1])
+
+        if has_sph and n_sch > 1 and not (primary and p_k):
+            # Chunked sphere walk (round 4): Morton-ordered sphere chunks
+            # in ONE tile-level fori_loop with all 8 sublane rows per
+            # iteration and a single chunk-level cull cond. (The first
+            # attempt ran 8 per-row fori_loops, each with its own cond —
+            # 32 small serialized iterations per bounce; measured 37M vs
+            # 89M unchunked on jumpy. One big-body fori keeps Mosaic's
+            # pipelining; cull resolution drops to the tile, which the
+            # bounce-0 frustum chunk list compensates for where it
+            # matters most.) Chunk 0 is walked statically above (its
+            # outputs give the carries their concrete layouts).
+            sivx = 1.0 / dx                               # (8, L)
+            sivy = 1.0 / dy
+            sivz = 1.0 / dz
+
+            def s_chunk_body(cK, carry):
+                if primary_clist:
+                    cI = jnp.where(i == 0, ctab_s_ref[0, 0, 1 + cK],
+                                   cK + 1)
+                else:
+                    cI = cK
+
+                def s_heavy(carry):
+                    tns, ps = carry
+                    ti = tab_int_ref[pl.ds(cI * 144, 144), :]
+                    tg = tab_ref[pl.ds(cI * 2 * P_ROWS, 2 * P_ROWS), :]
+                    new_tn, new_p = [], []
+                    for s in range(8):
+                        trn, p_c = sph_fns[s](ti, tg)
+                        if "nogather" in ablate:
+                            new_tn.append(jnp.maximum(trn, tns[s]))
+                            continue
+                        b = jnp.where(trn > tns[s], f(1.0), f(0.0))
+                        # Exact select (not a lerp) — see the planar
+                        # walk's winner-blend comment.
+                        new_tn.append(jnp.maximum(trn, tns[s]))
+                        new_p.append(ps[s] * (1.0 - b) + p_c * b)
+                    return tuple(new_tn), tuple(new_p)
+
+                if "nocull" in ablate:
+                    return s_heavy(carry)
+                bx0 = (svab_ref[cI, 0] - ox) * sivx       # (8, L)
+                bx1 = (svab_ref[cI, 3] - ox) * sivx
+                by0 = (svab_ref[cI, 1] - oy) * sivy
+                by1 = (svab_ref[cI, 4] - oy) * sivy
+                bz0 = (svab_ref[cI, 2] - oz) * sivz
+                bz1 = (svab_ref[cI, 5] - oz) * sivz
+                en = jnp.maximum(jnp.maximum(jnp.minimum(bx0, bx1),
+                                             jnp.minimum(by0, by1)),
+                                 jnp.minimum(bz0, bz1))
+                ex = jnp.minimum(jnp.minimum(jnp.maximum(bx0, bx1),
+                                             jnp.maximum(by0, by1)),
+                                 jnp.maximum(bz0, bz1))
+                # Chunk matters only for a live lane whose ray crosses
+                # the box past t_min and before its current best
+                # (p = -t*a domain: t = -btn/a).
+                btn8 = jnp.concatenate(carry[0], axis=0)  # (8, L)
+                tcur = jnp.where(btn8 > f(-1.0e37), -btn8 / a, f(_BIG))
+                may = ((en <= ex) & (ex >= f(t_min))
+                       & (alive_m > 0.0) & (en < tcur))
+                mayf = jnp.where(may, f(1.0), f(0.0))
+                return jax.lax.cond(jnp.max(mayf) > 0.0, s_heavy,
+                                    lambda c: c, carry)
+
+            carry0 = (tuple(tn_rows), tuple(param_rows))
+            if primary_clist:
+                s_count = jnp.where(i == 0, ctab_s_ref[0, 0, 0],
+                                    jnp.int32(n_sch - 1))
+                carry = jax.lax.fori_loop(0, s_count, s_chunk_body,
+                                          carry0)
+            else:
+                carry = jax.lax.fori_loop(1, n_sch, s_chunk_body, carry0)
+            tn_rows = list(carry[0])
+            param_rows = list(carry[1])
 
         def _stack(rows):
             return jnp.concatenate(rows, axis=0)                  # (8, L)
@@ -1158,7 +1169,13 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
     if emit_paths:
         pth_ref[:, :] = jnp.zeros(pth_ref.shape, f)
 
-    st = jax.lax.while_loop(cond, body, bounce_state())
+    st0 = bounce_state()
+    if p_k:
+        # Statically peel bounce 0: primaries ride the per-tile compacted
+        # tables; the while loop then covers bounces 1+ on full tables.
+        # (i == 0 comparisons inside this instantiation constant-fold.)
+        st0 = body(st0, primary=True)
+    st = jax.lax.while_loop(cond, body, st0)
     (_, _, _, _, _, _, _, _, _, _, rr_, rg_, rb_, _, seg) = st
 
     rad_ref[0:8, :] = rr_
@@ -1607,6 +1624,33 @@ def _combine_deferred(scene: SceneData, ctb: Array, dfr: Array,
     return out.reshape(n_p * piece, 3)[:B]
 
 
+def _block_perm(cfg: RenderConfig, b_pad: int):
+    """Block-tiling lane permutation (numpy, static): assigns each ray
+    tile a ~8x8 pixel block instead of a width-wide scanline strip, so
+    tile ray bundles are spatially tight (cull/frustum prepasses) and
+    short-path tiles exit the depth loop early. Returns (perm, bw, bh)."""
+    import numpy as _np
+
+    spp_t = cfg.samples_per_pixel
+    W, H = cfg.width, cfg.height
+
+    def _near_divisor(n, target):
+        divs = [d for d in range(1, n + 1) if n % d == 0]
+        return min(divs, key=lambda d: abs(d - target))
+
+    bw = _near_divisor(W, 8)
+    bh = _near_divisor(H, 8)
+    pp = (_np.arange(H * W, dtype=_np.int64)
+          .reshape(H // bh, bh, W // bw, bw)
+          .transpose(0, 2, 1, 3).ravel())               # block-major pixels
+    perm_np = (pp[:, None] * spp_t
+               + _np.arange(spp_t, dtype=_np.int64)[None, :]).ravel()
+    if b_pad > perm_np.size:                            # dead tail: identity
+        perm_np = _np.concatenate(
+            [perm_np, _np.arange(perm_np.size, b_pad)])
+    return perm_np, bw, bh
+
+
 def _tile_b(s_pad: int) -> int:
     """Ray-tile size for the (s_pad, TILE_B) intersection planes.
 
@@ -1626,8 +1670,8 @@ def _tile_b(s_pad: int) -> int:
                                     "tile_override", "s_pad_override",
                                     "r_chunk_override", "s_chunk_override",
                                     "ablate", "static",
-                                    "defer_tex", "emit_paths"))
-def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
+                                    "defer_tex", "emit_paths", "p_k"))
+def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  lane_start, n_chunk: int, seed,
                  interpret: bool = False,
                  tile_override: int | None = None,
@@ -1637,7 +1681,8 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  ablate: str = "",
                  static: SceneStatic | None = None,
                  defer_tex: bool | None = None,
-                 emit_paths: bool = False):
+                 emit_paths: bool = False,
+                 ptab_full=None, ptab_int=None, p_k: int = 0):
     """Render lanes [lane_start, lane_start + n_chunk) fully fused.
 
     Returns (radiance (n_chunk, 3) f32, segments (n_chunk,) int32) — per-lane
@@ -1685,7 +1730,13 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         if env_sc is not None:
             s_chunk = int(env_sc)
         else:
-            s_chunk = 128 if (has_sph and s_pad >= 384) else 0
+            # Default OFF: measured on v5e (jumpy, r4), every chunk-walk
+            # variant loses to the unrolled full-table path — per-row
+            # foris 37M, one tile-level fori 59M, vs 89M unchunked; the
+            # lax control flow serializes what Mosaic otherwise pipelines
+            # straight-line. Kept behind s_chunk_override/RTW_S_CHUNK for
+            # experiments.
+            s_chunk = 0
     if s_chunk:
         s_pad = _round_up(s_pad, s_chunk)
     n_sch = (s_pad // s_chunk) if s_chunk else 1
@@ -1785,9 +1836,17 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     # single-chunk and 1-device shard both pass lane_start = 0 there); the
     # chunked shard path keeps scanline order.
     n_chunks_st = (r_pad // r_chunk) if has_planar else 0
-    block_tiling = ((n_chunks_st > 1 or n_sch > 1)
+    # Tiling also engages for sphere-only scenes past trivial size:
+    # coherent 2D pixel blocks let sky/short-path tiles exit the depth
+    # loop early (+4.5% on jumpy, v5e r4) at ~0 runtime cost.
+    block_tiling = ((n_chunks_st > 1 or n_sch > 1
+                     or (has_sph and s_pad >= 384)
+                     or "forcetile" in ablate)
                     and "notile" not in ablate
                     and n_chunk == cfg.n_rays)
+    if p_k and (not block_tiling or n_sch > 1):
+        raise ValueError("p_k (peeled-primary tables) requires block "
+                         "tiling and unchunked spheres")
     if block_tiling:
         # The permutation depends only on static shape config, so build it
         # in numpy at trace time — it enters the graph as a constant, and
@@ -1798,23 +1857,7 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         # ms, wiping out the cull win. This version adds ~0 runtime.)
         import numpy as _np
 
-        spp_t = cfg.samples_per_pixel
-        W, H = cfg.width, cfg.height
-
-        def _near_divisor(n, target):
-            divs = [d for d in range(1, n + 1) if n % d == 0]
-            return min(divs, key=lambda d: abs(d - target))
-
-        bw = _near_divisor(W, 8)
-        bh = _near_divisor(H, 8)
-        pp = (_np.arange(H * W, dtype=_np.int64)
-              .reshape(H // bh, bh, W // bw, bw)
-              .transpose(0, 2, 1, 3).ravel())           # block-major pixels
-        perm_np = (pp[:, None] * spp_t
-                   + _np.arange(spp_t, dtype=_np.int64)[None, :]).ravel()
-        if b_pad > perm_np.size:                        # dead tail: identity
-            perm_np = _np.concatenate(
-                [perm_np, _np.arange(perm_np.size, b_pad)])
+        perm_np, bw, bh = _block_perm(cfg, b_pad)
         lane = (jnp.asarray(lane_start, jnp.int32)
                 + jnp.asarray(perm_np, jnp.int32))
 
@@ -1920,7 +1963,7 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         s_pad=s_pad, s_chunk=s_chunk,
         has_sph=has_sph, has_planar=has_planar, n_vol=n_vol, ablate=ablate,
         defer_tex=defer_tex, emit_paths=emit_paths,
-        primary_clist=primary_clist)
+        primary_clist=primary_clist, p_k=p_k)
 
     D = cfg.max_depth
     out_specs = [
@@ -1955,25 +1998,45 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     slab_tiles = max(1, min(n_tiles, budget // (rows_out * lanes_l)))
     n_slabs = -(-n_tiles // slab_tiles)
 
-    # ctabs ride with the tile-indexed inputs (their block index is the
-    # tile id, which restarts at 0 per slab — so they are sliced per slab
-    # too). Each (pos, n_ch) pair inserts after its family's tables;
-    # inserting highest position first keeps earlier positions valid.
-    ct_inserts = []          # [(pos, n_chunks, full_ctab_array)]
-    if primary_clist:
-        if ctab_s_pos is not None and n_sch > 1:
-            ct_inserts.append((ctab_s_pos, n_sch, ctab_s))
-        if ctab_p_pos is not None and n_chunks_st > 1:
-            ct_inserts.append((ctab_p_pos, n_chunks_st, ctab))
-        ct_inserts.sort(key=lambda t: t[0], reverse=True)
+    # Tile-indexed side tables (per-tile peel tables, frustum chunk
+    # lists) ride with the tile-indexed inputs: their block index is the
+    # tile id, which restarts at 0 per slab, so each is sliced per slab.
+    # Entries are (final_pos, spec, full_array, slab_slicer); inserting
+    # highest position first keeps earlier positions valid.
+    ins = []
+    p_off = 2 if p_k else 0
 
-    def call_slab(colrow_k, rid_k, ctabs_k, gk):
+    def _tile_sl(a, g0, gk):
+        return a[g0:g0 + gk]
+
+    if p_k:
+        def _col_sl(a, g0, gk, w=p_k):
+            return a[:, g0 * w:(g0 + gk) * w]
+
+        ins.append((2, pl.BlockSpec((2 * P_ROWS, p_k), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM),
+                    ptab_full, _col_sl))
+        ins.append((3, pl.BlockSpec((144, p_k), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM),
+                    ptab_int, _col_sl))
+    if primary_clist:
+        def _ct_spec(n_ch_c):
+            return pl.BlockSpec((1, 1, n_ch_c), lambda i: (i, 0, 0),
+                                memory_space=pltpu.SMEM)
+
+        if ctab_s_pos is not None and n_sch > 1:
+            ins.append((ctab_s_pos + p_off, _ct_spec(n_sch), ctab_s,
+                        _tile_sl))
+        if ctab_p_pos is not None and n_chunks_st > 1:
+            ins.append((ctab_p_pos + p_off, _ct_spec(n_chunks_st), ctab,
+                        _tile_sl))
+    ins.sort(key=lambda t: t[0], reverse=True)
+
+    def call_slab(colrow_k, rid_k, g0, gk):
         tabs_k, specs_k = list(tabs), list(tab_specs)
-        for (pos, n_ch_c, _), arr_k in zip(ct_inserts, ctabs_k):
-            tabs_k.insert(pos, arr_k)
-            specs_k.insert(pos,
-                           pl.BlockSpec((1, 1, n_ch_c), lambda i: (i, 0, 0),
-                                        memory_space=pltpu.SMEM))
+        for pos, spec, arr, sl in ins:
+            tabs_k.insert(pos, sl(arr, g0, gk))
+            specs_k.insert(pos, spec)
         return pl.pallas_call(
             kernel,
             grid=(gk,),
@@ -1998,8 +2061,7 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
         )(par, ipar, colrow_k, rid_k, *tabs_k)
 
     if n_slabs == 1:
-        rad, seg, *aux = call_slab(colrow, ridp,
-                                   [a for _, _, a in ct_inserts], n_tiles)
+        rad, seg, *aux = call_slab(colrow, ridp, 0, n_tiles)
     else:
         outs = []
         for k in range(n_slabs):
@@ -2009,8 +2071,7 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
             # against the global window), so slabs just slice the planes.
             colrow_k = colrow[:, g0 * lanes_l:(g0 + gk) * lanes_l]
             rid_k = ridp[:, g0 * lanes_l:(g0 + gk) * lanes_l]
-            ctabs_k = [a[g0:g0 + gk] for _, _, a in ct_inserts]
-            outs.append(call_slab(colrow_k, rid_k, ctabs_k, gk))
+            outs.append(call_slab(colrow_k, rid_k, g0, gk))
         # Tiles are independent; concatenating slab outputs along the lane
         # axis reassembles the full (rows, n_tiles*L) planes in tile order.
         rad, seg, *aux = (jnp.concatenate(parts, axis=1)
@@ -2057,6 +2118,170 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     if emit_paths:
         return rad[:n_chunk], seg[:n_chunk], codes[:n_chunk]
     return rad[:n_chunk], seg[:n_chunk]
+
+
+# --------------------------------------------------------------------------
+# Peeled-primary host prepass (public render_fused wrapper)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("s_pad",))
+def _gather_peel_tables(scene: SceneData, idx, s_pad: int):
+    tf, ti = _build_table(scene, s_pad)
+    flat = idx.reshape(-1)
+    return tf[:, flat], ti[:, flat]
+
+
+_PEEL_CACHE: dict = {}
+
+
+def _peel_primary_tables(scene: SceneData, cfg: RenderConfig, cam: Camera,
+                         n_chunk: int, tile_override):
+    """Per-tile frustum-compacted sphere tables for the peeled bounce 0.
+
+    Host prepass on CONCRETE arrays (the top-level render path): under
+    block tiling each ray tile covers a static pixel rect, so the tile's
+    primary rays can only hit spheres whose swept AABB intersects the
+    tile frustum (4 corner planes through the camera origin, defocus
+    margin scaled by distance — same conservative test as the in-jit
+    chunk-list prepass). Each tile gets its own K-column slice of the
+    coefficient/gather tables (K = max per-tile count, padded with the
+    always-invalid last column), so the statically peeled primary bounce
+    intersects K instead of s_pad spheres with zero in-kernel control
+    flow. Returns (ptab_full (2P, T*K), ptab_int (144, T*K), K, s_pad)
+    or None when not worthwhile.
+    """
+    import numpy as np
+
+    sp = scene.spheres
+    S = sp.radius.shape[0]
+    s_pad = _round_up(max(S, 128), 128)
+    if s_pad < 384 or s_pad > 4096:
+        return None
+    if s_pad <= S:
+        s_pad += 128           # guarantee an always-invalid pad column
+    tile_b = _round_up(tile_override or _tile_b(s_pad), 1024)
+    b_pad = _round_up(max(n_chunk, tile_b), tile_b)
+    n_tiles = b_pad // tile_b
+    key = (id(sp.c0), id(sp.c1), id(sp.radius), id(cam.origin), cfg,
+           n_chunk, s_pad, tile_b)
+    hit = _PEEL_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+
+    perm_np, _, _ = _block_perm(cfg, b_pad)
+    spp = cfg.samples_per_pixel
+    W, H = cfg.width, cfg.height
+    tp = perm_np[:n_tiles * tile_b].reshape(n_tiles, tile_b) // spp
+    tp = np.minimum(tp, cfg.n_pixels - 1)
+    tpx, tpy = tp % W, tp // W
+    s_lo = tpx.min(1) / (W - 1)
+    s_hi = (tpx.max(1) + 1) / (W - 1)
+    t_lo = (H - 1 - tpy.max(1)) / (H - 1)
+    t_hi = (H - tpy.min(1)) / (H - 1)
+    org = np.asarray(cam.origin, np.float64)
+    ll = np.asarray(cam.lower_left, np.float64)
+    hz = np.asarray(cam.horizontal, np.float64)
+    vt = np.asarray(cam.vertical, np.float64)
+    lr = float(np.asarray(cam.lens_radius))
+    base = (ll - org)[None, :]
+
+    def dirc(sv, tv):
+        return base + sv[:, None] * hz[None, :] + tv[:, None] * vt[None, :]
+
+    d00 = dirc(s_lo, t_lo)
+    d10 = dirc(s_hi, t_lo)
+    d11 = dirc(s_hi, t_hi)
+    d01 = dirc(s_lo, t_hi)
+    dc = d00 + d10 + d11 + d01
+
+    c0 = np.asarray(sp.c0, np.float64)
+    c1 = np.asarray(sp.c1, np.float64)
+    r = np.abs(np.asarray(sp.radius, np.float64))[:, None]
+    valid = np.asarray(sp.valid)
+    lo = np.minimum(c0, c1) - r
+    hi = np.maximum(c0, c1) + r
+    lo[~valid] = 0.0           # excluded below; 0 avoids inf*0 NaNs
+    hi[~valid] = 0.0
+    # Defocus margin scaled by distance (see the in-jit _mk_ctab comment).
+    vp_center = ll + 0.5 * hz + 0.5 * vt
+    focus_d = max(float(np.linalg.norm(vp_center - org)), 1e-6)
+    far = np.sqrt((np.maximum(np.abs(lo - org), np.abs(hi - org)) ** 2)
+                  .sum(1))
+    defocus_r = lr * np.maximum(1.0, far / focus_d)     # (S,)
+    ov = None
+    for da, db in ((d00, d10), (d10, d11), (d11, d01), (d01, d00)):
+        nrm = np.cross(da, db)                           # (T, 3)
+        nrm = nrm * np.sign((nrm * dc).sum(1, keepdims=True))
+        nn = np.linalg.norm(nrm, axis=1)
+        maxdot = sum(np.maximum(nrm[:, j:j + 1] * lo[None, :, j],
+                                nrm[:, j:j + 1] * hi[None, :, j])
+                     for j in range(3))                  # (T, S)
+        maxdot = maxdot - (nrm * org[None, :]).sum(1, keepdims=True)
+        margin = (defocus_r[None, :] + 1e-3) * nn[:, None] + 1e-6
+        okp = (maxdot >= -margin) | (nn < 1e-12)[:, None]
+        ov = okp if ov is None else (ov & okp)
+    ov &= valid[None, :]
+
+    counts = ov.sum(1)
+    K = int(_round_up(max(int(counts.max()), 1), 128))
+    if K >= s_pad:
+        _PEEL_CACHE[key] = (None, None)
+        return None
+    pad_idx = s_pad - 1
+    idx = np.full((n_tiles, K), pad_idx, np.int32)
+    for t in range(n_tiles):
+        w = np.nonzero(ov[t])[0]
+        idx[t, :w.size] = w
+    ptf, pti = _gather_peel_tables(scene, jnp.asarray(idx), s_pad)
+    out = (ptf, pti, K, s_pad)
+    # Strong refs to the source arrays pin their ids while cached (an
+    # id-keyed cache would otherwise alias recycled buffers).
+    _PEEL_CACHE[key] = (out, (sp.c0, sp.c1, sp.radius, cam.origin))
+    while len(_PEEL_CACHE) > 16:
+        _PEEL_CACHE.pop(next(iter(_PEEL_CACHE)))
+    return out
+
+
+def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
+                 lane_start, n_chunk: int, seed, **kw):
+    """Public fused-render entry: _render_fused_core plus, for concrete
+    sphere-only full-frame calls, the peeled-primary host prepass (the
+    per-tile compacted tables shrink bounce 0 from s_pad to K spheres).
+    Traced callers (fused_diff custom_vjp, shard_map bodies) fall through
+    to the plain core. All _render_fused_core kwargs pass through."""
+    static = kw.get("static")
+    try:
+        eligible = (
+            kw.get("ptab_full") is None and "p_k" not in kw
+            and static is not None
+            and static.n_spheres > 0
+            and static.n_rects + static.n_triangles == 0
+            and static.n_volumes == 0
+            and kw.get("s_pad_override") is None
+            and not kw.get("s_chunk_override")
+            and os.environ.get("RTW_S_CHUNK", "0") in ("", "0")
+            and "notile" not in kw.get("ablate", "")
+            and "nopeel" not in kw.get("ablate", "")
+            and isinstance(n_chunk, int) and n_chunk == cfg.n_rays
+            and not isinstance(lane_start, jax.core.Tracer)
+            and int(lane_start) == 0
+            and not isinstance(scene.spheres.c0, jax.core.Tracer)
+            and not isinstance(cam.origin, jax.core.Tracer))
+    except jax.errors.ConcretizationTypeError:
+        eligible = False
+    if eligible:
+        peel = _peel_primary_tables(scene, cfg, cam, n_chunk,
+                                    kw.get("tile_override"))
+        if peel is not None:
+            ptf, pti, K, s_pad = peel
+            kw2 = dict(kw)
+            kw2.pop("ablate", None)
+            return _render_fused_core(scene, cfg, cam, lane_start, n_chunk,
+                                      seed, ptab_full=ptf, ptab_int=pti,
+                                      p_k=K, s_pad_override=s_pad,
+                                      ablate=kw.get("ablate", ""), **kw2)
+    return _render_fused_core(scene, cfg, cam, lane_start, n_chunk, seed,
+                              **kw)
 
 
 def fused_supported(static: SceneStatic, cfg: RenderConfig) -> bool:
