@@ -61,6 +61,15 @@ def _make_diff(static: SceneStatic, cfg: RenderConfig, n_chunk: int,
                                      emit_paths=True)
         return rad, (scene, cam, lane_start, seed, codes)
 
+    # The fused Pallas replay-backward kernel covers sphere-only scenes
+    # with solid/checker textures (ops/pallas/replay_bwd.py); everything
+    # else re-traces through the XLA replay (replay.py). Measured v5e
+    # (jumpy): XLA replay fwd+bwd 287 ms vs a 40 ms fused forward.
+    kernel_bwd = (static.n_spheres > 0
+                  and static.n_rects + static.n_triangles == 0
+                  and static.n_volumes == 0
+                  and not static.has_noise and not static.has_image)
+
     def bwd(res, g):
         scene, cam, lane_start, seed, codes = res
         # jax.vjp rejects integer inputs: differentiate w.r.t. the float
@@ -70,17 +79,38 @@ def _make_diff(static: SceneStatic, cfg: RenderConfig, n_chunk: int,
                 for l in leaves]
         float_leaves = [l for l, m in zip(leaves, mask) if m]
 
-        def replay_f(float_leaves, cam):
+        def _unflatten(float_leaves):
             it = iter(float_leaves)
             full = [next(it) if m else l for l, m in zip(leaves, mask)]
-            sc = jtu.tree_unflatten(treedef, full)
-            ids = lane_start + jnp.arange(n_chunk, dtype=jnp.int32)
-            o, d, time, ray_id = _pixel_rays(cam, cfg, ids, seed)
-            return replay_rays(sc, static, cfg, o, d, time, ray_id, seed,
-                               codes)
+            return jtu.tree_unflatten(treedef, full)
 
-        _, vjp = jax.vjp(replay_f, float_leaves, cam)
-        g_float, g_cam = vjp(g)
+        if kernel_bwd:
+            from raytracer_weekend_tpu.ops.pallas.replay_bwd import (
+                pack_ktab, replay_bwd_sphere)
+
+            def pack_f(float_leaves, cam):
+                sc = _unflatten(float_leaves)
+                ids = lane_start + jnp.arange(n_chunk, dtype=jnp.int32)
+                o, d, time, ray_id = _pixel_rays(cam, cfg, ids, seed)
+                return (pack_ktab(sc), sc.background, o, d, time), ray_id
+
+            (ktab, bg, o, d, time), ray_id = pack_f(float_leaves, cam)
+            dktab, d_o, d_d, d_tm, d_bg = replay_bwd_sphere(
+                ktab, bg, cfg, o, d, time, ray_id, seed, codes, g,
+                n_chunk, interpret=interpret)
+            _, vjp = jax.vjp(lambda fl, cm: pack_f(fl, cm)[0],
+                             float_leaves, cam)
+            g_float, g_cam = vjp((dktab, d_bg, d_o, d_d, d_tm))
+        else:
+            def replay_f(float_leaves, cam):
+                sc = _unflatten(float_leaves)
+                ids = lane_start + jnp.arange(n_chunk, dtype=jnp.int32)
+                o, d, time, ray_id = _pixel_rays(cam, cfg, ids, seed)
+                return replay_rays(sc, static, cfg, o, d, time, ray_id,
+                                   seed, codes)
+
+            _, vjp = jax.vjp(replay_f, float_leaves, cam)
+            g_float, g_cam = vjp(g)
         it = iter(g_float)
         g_leaves = [next(it) if m else _float0_like(l)
                     for l, m in zip(leaves, mask)]
