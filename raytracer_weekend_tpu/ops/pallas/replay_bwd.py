@@ -137,7 +137,8 @@ def _kernel(par_ref, ipar_ref, rid_ref, o_ref, d_ref, tm_ref, cod_ref,
     dn_g = (((1,), (0,)), ((), ()))     # contract the S axis (gather)
     dn_t = (((1,), (1,)), ((), ()))     # contract the lane axis (transpose)
 
-    iota_s = jax.lax.broadcasted_iota(jnp.float32, (s_pad, L), 0)
+    # Mosaic iota must be integer-typed; convert once (loop-invariant).
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (s_pad, L), 0).astype(f)
 
     # ---------------- forward sweep: recompute + stash -------------------
     def fwd_body(k, carry):
