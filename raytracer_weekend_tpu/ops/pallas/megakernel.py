@@ -231,10 +231,15 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
             has_sph: bool = True, has_planar: bool = False,
             n_vol: int = 0, ablate: str = "",
             defer_tex: bool = False, emit_paths: bool = False,
-            primary_clist: bool = False, p_k: int = 0):
+            primary_clist: bool = False, p_k: int = 0,
+            pp_k: int = 0):
     f = jnp.float32
     L = tile_b // 8  # per-ray state is (8, L): full VPU sublane utilization
-    assert not (ablate and (defer_tex or emit_paths))
+    # Timing ablations produce wrong output and may not combine with the
+    # aux-emitting modes; control tokens (nocull/noclist/notile/nopeel/
+    # forcetile) are output-preserving and compose freely.
+    assert not (any(t in ablate for t in ("noshade", "nogather"))
+                and (defer_tex or emit_paths))
     n_sch = (s_pad // s_chunk) if (has_sph and s_chunk) else 1
 
     i_ref = 0
@@ -257,6 +262,12 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
     if has_planar:
         tab_pd_ref, tab_po_ref, tab_pg_ref, vab_ref = refs[i_ref:i_ref + 4]
         i_ref += 4
+        if pp_k:
+            # Peeled-primary per-tile planar tables (raw single-chunk
+            # layout, width pp_k): bounce 0 intersects only THIS tile's
+            # frustum-compacted rect/triangle set.
+            ptab_pd_ref, ptab_po_ref, ptab_pg_ref = refs[i_ref:i_ref + 3]
+            i_ref += 3
         if primary_clist and r_pad // r_chunk > 1:
             # (1, n_chunks) SMEM row for THIS tile: [count, chunk ids...] —
             # the chunks (excluding the always-processed chunk 0) whose
@@ -616,7 +627,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                                            axis=0)
                            for s in range(8)]
 
-            def planar_chunk(pd8, po8, pg, s):
+            def planar_chunk(pd8, po8, pg, s, rc=rc, pk=pk):
                 # pd8 (8|24, 3rc); po8 (8|32, 4rc) — K-split when pk.
                 if pk:
                     md = jax.lax.dot_general(pd8[0:24], fd_rows[s], dn,
@@ -673,7 +684,23 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
             tr_rows, paramr_list, uw_rows, vw_rows = [], [], [], []
             pd_rows0 = 24 if pk else 8
             po_rows0 = 32 if pk else 8
+            peel_planar = primary and pp_k > 0
             for s in range(8):
+                if peel_planar:
+                    # Peeled bounce 0: ONE raw-precision chunk over the
+                    # tile's frustum-compacted planar set (pp_k wide) —
+                    # no chunk walk, no cull branches. HIGHEST matmuls,
+                    # so results match the full chunked walk bitwise on
+                    # exact backends (same products, same winner select).
+                    best = planar_chunk(ptab_pd_ref[0:8, :],
+                                        ptab_po_ref[0:8, :],
+                                        ptab_pg_ref[0:2 * PG_ROWS, :], s,
+                                        rc=pp_k, pk=False)
+                    tr_rows.append(best[0])
+                    paramr_list.append(best[1])
+                    uw_rows.append(best[2])
+                    vw_rows.append(best[3])
+                    continue
                 best = planar_chunk(tab_pd_ref[0:pd_rows0, :],
                                     tab_po_ref[0:po_rows0, :],
                                     tab_pg_ref[0:2 * PG_ROWS, :], s)
@@ -1312,7 +1339,8 @@ def _sphere_chunk_aabbs(scene: SceneData, s_pad: int,
 
 def _build_planar_tables(scene: SceneData, r_pad: int,
                          with_rects: bool, with_tris: bool,
-                         r_chunk: int | None = None):
+                         r_chunk: int | None = None,
+                         ksplit_off: bool = False):
     """(tab_pd (c*8, 3*rc), tab_po (c*8, 4*rc), tab_pg (c*2*PG_ROWS, rc))
     with c = r_pad // r_chunk chunks, each chunk's block in its own
     sublane row group.
@@ -1416,7 +1444,9 @@ def _build_planar_tables(scene: SceneData, r_pad: int,
     # 4096 does not, bisected on-chip. tools/perf_r2e.py.)
     rc = r_chunk or r_pad
     c = r_pad // rc
-    ksplit = c == 1   # single-chunk scenes take the K-split planar matmuls
+    # Single-chunk scenes take the K-split planar matmuls; ksplit_off
+    # forces the raw layout (peeled-primary per-tile tables run HIGHEST).
+    ksplit = c == 1 and not ksplit_off
 
     def _tks(t):
         # Table side of the 8-block K-split: [Th Th Th Tm Tm Tm Tl Tl]
@@ -1611,7 +1641,7 @@ def _combine_deferred(scene: SceneData, ctb: Array, dfr: Array,
     # at 0.7M (tools probe, 2026-08-20). lax.map compiles the piece shape
     # once and loops; the work is bandwidth-bound either way.
     B = ctb.shape[0]
-    piece = 1 << 15
+    piece = int(os.environ.get("RTW_COMBINE_PIECE", 1 << 15))
     if B <= piece:
         return combine((ctb, dfr))
     n_p = -(-B // piece)
@@ -1665,12 +1695,83 @@ def _tile_b(s_pad: int) -> int:
     return int(max(256, min(2048, (budget // 128) * 128)))
 
 
+
+def _derive_sizes(cfg: RenderConfig, S: int, n_planar: int,
+                  has_sph: bool, has_planar: bool,
+                  defer_tex: bool, emit_paths: bool,
+                  tile_override, s_pad_override, r_chunk_override,
+                  s_chunk_override, n_chunk: int):
+    """Shared static-shape derivation for the fused kernel: s_pad/s_chunk,
+    tile_b/b_pad, r_pad/r_chunk. Used by _render_fused_core AND the
+    peeled-primary host prepass, which must mirror the core's tiling
+    exactly (a drifted mirror would bind per-tile tables to the wrong
+    pixel rects)."""
+    s_pad = s_pad_override or _round_up(max(S, 128), 128)
+    r_pad0 = _round_up(max(n_planar, 128), 128) if has_planar else 0
+    if s_chunk_override is not None:
+        s_chunk = s_chunk_override
+    else:
+        env_sc = os.environ.get("RTW_S_CHUNK")
+        if env_sc is not None:
+            s_chunk = int(env_sc)
+        else:
+            # Default OFF: measured on v5e (jumpy, r4), every chunk-walk
+            # variant loses to the unrolled full-table path — per-row
+            # foris 37M, one tile-level fori 59M, vs 89M unchunked; the
+            # lax control flow serializes what Mosaic otherwise pipelines
+            # straight-line. Kept behind s_chunk_override/RTW_S_CHUNK for
+            # experiments.
+            s_chunk = 0
+    if s_chunk:
+        s_pad = _round_up(s_pad, s_chunk)
+    n_sch = (s_pad // s_chunk) if s_chunk else 1
+    s_eff = s_chunk if n_sch > 1 else s_pad
+    # (8, L) state needs tile_b = 8*L with L a lane multiple: tile % 1024.
+    # Chunking bounds the per-chunk plane height, so tile sizing sees the
+    # chunk, not the full primitive count: for chunked planar scenes the
+    # live planes are (r_chunk, L), so the tile should NOT shrink with
+    # r_pad0 (the round-1..3 sizing gave cow tile 1024/rc 256 = 12.3M
+    # seg/s; tile 2048/rc 128 measures 15.2M, suspension 5.9 -> 9.7M,
+    # monument 1080p 5.0 -> 4.1 s/frame — v5e, r4 sweep).
+    planar_term = r_pad0 if r_pad0 <= 256 else 128
+    tile_b = _round_up(tile_override
+                       or _tile_b(max(s_eff, planar_term)), 1024)
+    # Aux output blocks are (rows_per_depth * max_depth, L): bound their
+    # VMEM share at ~4 MB by shrinking the ray tile for deep renders.
+    aux_rows = (56 if defer_tex else 0) + (8 if emit_paths else 0)
+    while (aux_rows and tile_b > 1024
+           and aux_rows * cfg.max_depth * (tile_b // 8) * 4 > 4 * 2**20):
+        tile_b -= 1024
+    b_pad = _round_up(max(n_chunk, tile_b), tile_b)
+    n_tiles, lanes_l = b_pad // tile_b, tile_b // 8
+    # Planar chunk: bound the TOTAL live chunk-plane VMEM, not one plane.
+    # Per chunk iteration ~14 (r_chunk, L) f32 planes are live at once: the
+    # stacked matmul outputs (3rc, L) md + (4rc, L) mo plus t/u/v/flag/ok/
+    # tneg and the running best planes. Round 1 budgeted only (rc, L) and
+    # mesh scenes (cow 5.8k tris @ rc=2048, L=128 -> ~13 MB) failed to
+    # compile on the real TPU (BENCH_NOTES.md). 32k f32 lanes per plane
+    # (was 64k: the HIGHEST-precision intersection matmuls add bf16-split
+    # temporaries, and 64k planes put mesh scenes ~1 MB over the 16 MB
+    # scoped-VMEM limit) keeps the set near ~3.5 MB.
+    if has_planar:
+        r_chunk = r_chunk_override or max(
+            128, min(r_pad0, (32768 // lanes_l) // 128 * 128))
+        r_pad = _round_up(r_pad0, r_chunk)
+    else:
+        r_chunk = r_pad = 0
+    return dict(s_pad=s_pad, s_chunk=s_chunk, n_sch=n_sch, s_eff=s_eff,
+                tile_b=tile_b, b_pad=b_pad, n_tiles=n_tiles,
+                lanes_l=lanes_l, r_pad0=r_pad0, r_pad=r_pad,
+                r_chunk=r_chunk)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_chunk", "interpret",
                                     "tile_override", "s_pad_override",
                                     "r_chunk_override", "s_chunk_override",
                                     "ablate", "static",
-                                    "defer_tex", "emit_paths", "p_k"))
+                                    "defer_tex", "emit_paths", "p_k",
+                                    "pp_k"))
 def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  lane_start, n_chunk: int, seed,
                  interpret: bool = False,
@@ -1682,7 +1783,9 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  static: SceneStatic | None = None,
                  defer_tex: bool | None = None,
                  emit_paths: bool = False,
-                 ptab_full=None, ptab_int=None, p_k: int = 0):
+                 ptab_full=None, ptab_int=None, p_k: int = 0,
+                 ptab_pd=None, ptab_po=None, ptab_pg=None,
+                 pp_k: int = 0):
     """Render lanes [lane_start, lane_start + n_chunk) fully fused.
 
     Returns (radiance (n_chunk, 3) f32, segments (n_chunk,) int32) — per-lane
@@ -1715,62 +1818,15 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
     if defer_tex is None:
         defer_tex = bool(static is not None
                          and (static.has_noise or static.has_image))
-    s_pad = s_pad_override or _round_up(max(S, 128), 128)
-    r_pad0 = _round_up(max(n_planar, 128), 128) if has_planar else 0
-    # Sphere chunking (round 4): Morton-ordered 128-sphere chunks walked
-    # with per-row AABB culls + a bounce-0 frustum chunk list, so most
-    # rays test far fewer than s_pad spheres (round-2 ablation: the
-    # S-dependent planes were ~79% of the jumpy frame at s_pad=512).
-    # Chunk only past 2 chunks' worth — a 2-chunk split pays the walk
-    # overhead for little cullable volume.
-    if s_chunk_override is not None:
-        s_chunk = s_chunk_override
-    else:
-        env_sc = os.environ.get("RTW_S_CHUNK")
-        if env_sc is not None:
-            s_chunk = int(env_sc)
-        else:
-            # Default OFF: measured on v5e (jumpy, r4), every chunk-walk
-            # variant loses to the unrolled full-table path — per-row
-            # foris 37M, one tile-level fori 59M, vs 89M unchunked; the
-            # lax control flow serializes what Mosaic otherwise pipelines
-            # straight-line. Kept behind s_chunk_override/RTW_S_CHUNK for
-            # experiments.
-            s_chunk = 0
-    if s_chunk:
-        s_pad = _round_up(s_pad, s_chunk)
-    n_sch = (s_pad // s_chunk) if s_chunk else 1
-    s_eff = s_chunk if n_sch > 1 else s_pad
-    # (8, L) state needs tile_b = 8*L with L a lane multiple: tile % 1024.
-    # Chunking bounds the per-chunk plane height, so tile sizing sees the
-    # chunk, not the full primitive count.
-    tile_b = _round_up(tile_override
-                       or _tile_b(max(s_eff, min(r_pad0, 2048))), 1024)
-    # Aux output blocks are (rows_per_depth * max_depth, L): bound their
-    # VMEM share at ~4 MB by shrinking the ray tile for deep renders.
-    aux_rows = (56 if defer_tex else 0) + (8 if emit_paths else 0)
-    while (aux_rows and tile_b > 1024
-           and aux_rows * cfg.max_depth * (tile_b // 8) * 4 > 4 * 2**20):
-        tile_b -= 1024
-    b_pad = _round_up(max(n_chunk, tile_b), tile_b)
-    grid = (b_pad // tile_b,)
-    n_tiles, lanes_l = grid[0], tile_b // 8
-    # Planar chunk: bound the TOTAL live chunk-plane VMEM, not one plane.
-    # Per chunk iteration ~14 (r_chunk, L) f32 planes are live at once: the
-    # stacked matmul outputs (3rc, L) md + (4rc, L) mo plus t/u/v/flag/ok/
-    # tneg and the running best planes. Round 1 budgeted only (rc, L) and
-    # mesh scenes (cow 5.8k tris @ rc=2048, L=128 -> ~13 MB) failed to
-    # compile on the real TPU (BENCH_NOTES.md). 64k f32 lanes per plane
-    # keeps the set near ~3.5 MB.
-    if has_planar:
-        # 32k f32 lanes per plane (was 64k): the HIGHEST-precision
-        # intersection matmuls add bf16-split temporaries, and 64k planes
-        # put mesh scenes ~1 MB over the 16 MB scoped-VMEM limit.
-        r_chunk = r_chunk_override or max(
-            128, min(r_pad0, (32768 // lanes_l) // 128 * 128))
-        r_pad = _round_up(r_pad0, r_chunk)
-    else:
-        r_chunk = r_pad = 0
+    sz = _derive_sizes(cfg, S, n_planar, has_sph, has_planar, defer_tex,
+                       emit_paths, tile_override, s_pad_override,
+                       r_chunk_override, s_chunk_override, n_chunk)
+    s_pad, s_chunk, n_sch, s_eff = (sz["s_pad"], sz["s_chunk"],
+                                    sz["n_sch"], sz["s_eff"])
+    tile_b, b_pad = sz["tile_b"], sz["b_pad"]
+    n_tiles, lanes_l = sz["n_tiles"], sz["lanes_l"]
+    r_pad, r_chunk = sz["r_pad"], sz["r_chunk"]
+    grid = (n_tiles,)
 
     tabs, tab_specs = [], []
     ctab_s_pos = ctab_p_pos = None
@@ -1844,9 +1900,9 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                      or "forcetile" in ablate)
                     and "notile" not in ablate
                     and n_chunk == cfg.n_rays)
-    if p_k and (not block_tiling or n_sch > 1):
-        raise ValueError("p_k (peeled-primary tables) requires block "
-                         "tiling and unchunked spheres")
+    if (p_k or pp_k) and (not block_tiling or n_sch > 1):
+        raise ValueError("peeled-primary tables require block tiling and "
+                         "unchunked spheres")
     if block_tiling:
         # The permutation depends only on static shape config, so build it
         # in numpy at trace time — it enters the graph as a constant, and
@@ -1963,7 +2019,7 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
         s_pad=s_pad, s_chunk=s_chunk,
         has_sph=has_sph, has_planar=has_planar, n_vol=n_vol, ablate=ablate,
         defer_tex=defer_tex, emit_paths=emit_paths,
-        primary_clist=primary_clist, p_k=p_k)
+        primary_clist=primary_clist, p_k=p_k, pp_k=pp_k)
 
     D = cfg.max_depth
     out_specs = [
@@ -2001,36 +2057,57 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
     # Tile-indexed side tables (per-tile peel tables, frustum chunk
     # lists) ride with the tile-indexed inputs: their block index is the
     # tile id, which restarts at 0 per slab, so each is sliced per slab.
-    # Entries are (final_pos, spec, full_array, slab_slicer); inserting
-    # highest position first keeps earlier positions valid.
+    # Entries are (final_pos, spec, full_array, slab_slicer) with
+    # final_pos in the KERNEL's ref coordinate system; processing in
+    # ascending order makes list.insert land every entry at exactly its
+    # final index.
     ins = []
-    p_off = 2 if p_k else 0
 
     def _tile_sl(a, g0, gk):
         return a[g0:g0 + gk]
 
-    if p_k:
-        def _col_sl(a, g0, gk, w=p_k):
+    def _col_sl(w):
+        def sl(a, g0, gk):
             return a[:, g0 * w:(g0 + gk) * w]
+        return sl
 
-        ins.append((2, pl.BlockSpec((2 * P_ROWS, p_k), lambda i: (0, i),
-                                    memory_space=pltpu.VMEM),
-                    ptab_full, _col_sl))
-        ins.append((3, pl.BlockSpec((144, p_k), lambda i: (0, i),
-                                    memory_space=pltpu.VMEM),
-                    ptab_int, _col_sl))
-    if primary_clist:
-        def _ct_spec(n_ch_c):
-            return pl.BlockSpec((1, 1, n_ch_c), lambda i: (i, 0, 0),
-                                memory_space=pltpu.SMEM)
+    def _vm_spec(rows, w):
+        return pl.BlockSpec((rows, w), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
 
-        if ctab_s_pos is not None and n_sch > 1:
-            ins.append((ctab_s_pos + p_off, _ct_spec(n_sch), ctab_s,
-                        _tile_sl))
-        if ctab_p_pos is not None and n_chunks_st > 1:
-            ins.append((ctab_p_pos + p_off, _ct_spec(n_chunks_st), ctab,
-                        _tile_sl))
-    ins.sort(key=lambda t: t[0], reverse=True)
+    def _ct_spec(n_ch_c):
+        return pl.BlockSpec((1, 1, n_ch_c), lambda i: (i, 0, 0),
+                            memory_space=pltpu.SMEM)
+
+    # Walk the kernel's ref order, tracking the final position cursor.
+    fpos = 0
+    if has_sph:
+        fpos += 2                                    # tab_full, tab_int
+        if p_k:
+            ins.append((fpos, _vm_spec(2 * P_ROWS, p_k), ptab_full,
+                        _col_sl(p_k)))
+            ins.append((fpos + 1, _vm_spec(144, p_k), ptab_int,
+                        _col_sl(p_k)))
+            fpos += 2
+        if n_sch > 1:
+            fpos += 1                                # svab
+            if primary_clist:
+                ins.append((fpos, _ct_spec(n_sch), ctab_s, _tile_sl))
+                fpos += 1
+    if has_planar:
+        fpos += 4                                    # pd, po, pg, vab
+        if pp_k:
+            ins.append((fpos, _vm_spec(8, 3 * pp_k), ptab_pd,
+                        _col_sl(3 * pp_k)))
+            ins.append((fpos + 1, _vm_spec(8, 4 * pp_k), ptab_po,
+                        _col_sl(4 * pp_k)))
+            ins.append((fpos + 2, _vm_spec(2 * PG_ROWS, pp_k), ptab_pg,
+                        _col_sl(pp_k)))
+            fpos += 3
+        if primary_clist and n_chunks_st > 1:
+            ins.append((fpos, _ct_spec(n_chunks_st), ctab, _tile_sl))
+            fpos += 1
+    ins.sort(key=lambda t: t[0])
 
     def call_slab(colrow_k, rid_k, g0, gk):
         tabs_k, specs_k = list(tabs), list(tab_specs)
@@ -2131,39 +2208,87 @@ def _gather_peel_tables(scene: SceneData, idx, s_pad: int):
     return tf[:, flat], ti[:, flat]
 
 
+@functools.partial(jax.jit, static_argnames=("r_pad", "with_rects",
+                                             "with_tris"))
+def _gather_peel_planar(scene: SceneData, idx, r_pad: int,
+                        with_rects: bool, with_tris: bool):
+    """Per-tile planar tables from the raw (non-K-split) single-chunk
+    layout: pd (8, 3*r_pad) blocks [n|ua|ub], po (8, 4*r_pad)
+    [num|u0|v0|flag], pg (2PG, r_pad). Gathers columns per block into
+    (8, T*3K) / (8, T*4K) / (2PG, T*K) tile-major layouts."""
+    pd, po, pg = _build_planar_tables(scene, r_pad, with_rects, with_tris,
+                                      r_chunk=r_pad, ksplit_off=True)
+    T, K = idx.shape
+    flat = idx.reshape(-1)
+
+    def blocks(tab, nblk):
+        cols = jnp.stack([tab[:, b * r_pad + flat] for b in range(nblk)],
+                         axis=2)                      # (rows, T*K, nblk)
+        return (cols.reshape(tab.shape[0], T, K, nblk)
+                .transpose(0, 1, 3, 2)
+                .reshape(tab.shape[0], T * nblk * K))
+
+    return blocks(pd, 3), blocks(po, 4), pg[:, flat].reshape(
+        2 * PG_ROWS, T * K)
+
+
 _PEEL_CACHE: dict = {}
 
 
-def _peel_primary_tables(scene: SceneData, cfg: RenderConfig, cam: Camera,
-                         n_chunk: int, tile_override):
-    """Per-tile frustum-compacted sphere tables for the peeled bounce 0.
+def _peel_primary_tables(scene: SceneData, static: SceneStatic,
+                         cfg: RenderConfig, cam: Camera,
+                         n_chunk: int, tile_override,
+                         defer_tex: bool = False,
+                         emit_paths: bool = False):
+    """Per-tile frustum-compacted primary tables for the peeled bounce 0.
 
     Host prepass on CONCRETE arrays (the top-level render path): under
     block tiling each ray tile covers a static pixel rect, so the tile's
-    primary rays can only hit spheres whose swept AABB intersects the
-    tile frustum (4 corner planes through the camera origin, defocus
+    primary rays can only hit primitives whose (swept) AABB intersects
+    the tile frustum (4 corner planes through the camera origin, defocus
     margin scaled by distance — same conservative test as the in-jit
     chunk-list prepass). Each tile gets its own K-column slice of the
-    coefficient/gather tables (K = max per-tile count, padded with the
-    always-invalid last column), so the statically peeled primary bounce
-    intersects K instead of s_pad spheres with zero in-kernel control
-    flow. Returns (ptab_full (2P, T*K), ptab_int (144, T*K), K, s_pad)
-    or None when not worthwhile.
+    coefficient/gather tables (K = max per-tile count, padded with an
+    always-invalid column), so the statically peeled primary bounce
+    intersects K instead of s_pad/r_pad primitives with zero in-kernel
+    control flow. Spheres (K-split tables) and planar rect/triangle sets
+    (raw HIGHEST tables) peel independently; returns a kwargs dict for
+    _render_fused_core (possibly empty) or None when nothing peels.
     """
     import numpy as np
 
-    sp = scene.spheres
-    S = sp.radius.shape[0]
-    s_pad = _round_up(max(S, 128), 128)
-    if s_pad < 384 or s_pad > 4096:
+    S = scene.spheres.radius.shape[0]
+    has_sph = static.n_spheres > 0
+    wr, wt = static.n_rects > 0, static.n_triangles > 0
+    has_planar = wr or wt
+    n_planar = ((scene.rects.axis.shape[0] if wr else 0)
+                + (scene.triangles.mat.shape[0] if wt else 0))
+
+    s_pad_ov = None
+    sphere_peel = has_sph and 384 <= _round_up(max(S, 128), 128) <= 4096
+    if sphere_peel:
+        s_pad_ov = _round_up(max(S, 128), 128)
+        if s_pad_ov <= S:
+            s_pad_ov += 128    # guarantee an always-invalid pad column
+    sz = _derive_sizes(cfg, S, n_planar, has_sph, has_planar, defer_tex,
+                       emit_paths, tile_override, s_pad_ov, None, None,
+                       n_chunk)
+    tile_b, b_pad, n_tiles = sz["tile_b"], sz["b_pad"], sz["n_tiles"]
+    r_pad, r_chunk = sz["r_pad"], sz["r_chunk"]
+    planar_peel = (has_planar and r_chunk and r_pad // r_chunk > 1
+                   and r_pad > n_planar and r_pad <= 32768)
+    if sphere_peel and planar_peel:
+        # book2-class scenes (big sphere cluster + chunked planar +
+        # volumes) already run near the 16 MB VMEM limit; adding either
+        # family's per-tile peel tables fails to compile on v5e
+        # (compile-helper HTTP 500, r4). Peel only single-family scenes.
+        sphere_peel = planar_peel = False
+    if not sphere_peel and not planar_peel:
         return None
-    if s_pad <= S:
-        s_pad += 128           # guarantee an always-invalid pad column
-    tile_b = _round_up(tile_override or _tile_b(s_pad), 1024)
-    b_pad = _round_up(max(n_chunk, tile_b), tile_b)
-    n_tiles = b_pad // tile_b
-    key = (id(sp.c0), id(sp.c1), id(sp.radius), id(cam.origin), cfg,
-           n_chunk, s_pad, tile_b)
+
+    sp, rc_, tr = scene.spheres, scene.rects, scene.triangles
+    key = (id(sp.c0), id(rc_.k), id(tr.v0), id(cam.origin), cfg,
+           n_chunk, s_pad_ov, tile_b, r_pad)
     hit = _PEEL_CACHE.get(key)
     if hit is not None:
         return hit[0]
@@ -2193,50 +2318,103 @@ def _peel_primary_tables(scene: SceneData, cfg: RenderConfig, cam: Camera,
     d11 = dirc(s_hi, t_hi)
     d01 = dirc(s_lo, t_hi)
     dc = d00 + d10 + d11 + d01
-
-    c0 = np.asarray(sp.c0, np.float64)
-    c1 = np.asarray(sp.c1, np.float64)
-    r = np.abs(np.asarray(sp.radius, np.float64))[:, None]
-    valid = np.asarray(sp.valid)
-    lo = np.minimum(c0, c1) - r
-    hi = np.maximum(c0, c1) + r
-    lo[~valid] = 0.0           # excluded below; 0 avoids inf*0 NaNs
-    hi[~valid] = 0.0
-    # Defocus margin scaled by distance (see the in-jit _mk_ctab comment).
     vp_center = ll + 0.5 * hz + 0.5 * vt
     focus_d = max(float(np.linalg.norm(vp_center - org)), 1e-6)
-    far = np.sqrt((np.maximum(np.abs(lo - org), np.abs(hi - org)) ** 2)
-                  .sum(1))
-    defocus_r = lr * np.maximum(1.0, far / focus_d)     # (S,)
-    ov = None
-    for da, db in ((d00, d10), (d10, d11), (d11, d01), (d01, d00)):
-        nrm = np.cross(da, db)                           # (T, 3)
-        nrm = nrm * np.sign((nrm * dc).sum(1, keepdims=True))
-        nn = np.linalg.norm(nrm, axis=1)
-        maxdot = sum(np.maximum(nrm[:, j:j + 1] * lo[None, :, j],
-                                nrm[:, j:j + 1] * hi[None, :, j])
-                     for j in range(3))                  # (T, S)
-        maxdot = maxdot - (nrm * org[None, :]).sum(1, keepdims=True)
-        margin = (defocus_r[None, :] + 1e-3) * nn[:, None] + 1e-6
-        okp = (maxdot >= -margin) | (nn < 1e-12)[:, None]
-        ov = okp if ov is None else (ov & okp)
-    ov &= valid[None, :]
 
-    counts = ov.sum(1)
-    K = int(_round_up(max(int(counts.max()), 1), 128))
-    if K >= s_pad:
-        _PEEL_CACHE[key] = (None, None)
-        return None
-    pad_idx = s_pad - 1
-    idx = np.full((n_tiles, K), pad_idx, np.int32)
-    for t in range(n_tiles):
-        w = np.nonzero(ov[t])[0]
-        idx[t, :w.size] = w
-    ptf, pti = _gather_peel_tables(scene, jnp.asarray(idx), s_pad)
-    out = (ptf, pti, K, s_pad)
+    def overlap(lo, hi, valid):
+        """(T, N) conservative tile-frustum x AABB overlap (defocus
+        margin scaled by distance — see the in-jit _mk_ctab comment)."""
+        lo = np.where(valid[:, None], lo, 0.0)   # 0 avoids inf*0 NaNs
+        hi = np.where(valid[:, None], hi, 0.0)
+        far = np.sqrt((np.maximum(np.abs(lo - org), np.abs(hi - org))
+                       ** 2).sum(1))
+        defocus_r = lr * np.maximum(1.0, far / focus_d)     # (N,)
+        ov = None
+        for da, db in ((d00, d10), (d10, d11), (d11, d01), (d01, d00)):
+            nrm = np.cross(da, db)                          # (T, 3)
+            nrm = nrm * np.sign((nrm * dc).sum(1, keepdims=True))
+            nn = np.linalg.norm(nrm, axis=1)
+            maxdot = sum(np.maximum(nrm[:, j:j + 1] * lo[None, :, j],
+                                    nrm[:, j:j + 1] * hi[None, :, j])
+                         for j in range(3))                 # (T, N)
+            maxdot = maxdot - (nrm * org[None, :]).sum(1, keepdims=True)
+            margin = (defocus_r[None, :] + 1e-3) * nn[:, None] + 1e-6
+            okp = (maxdot >= -margin) | (nn < 1e-12)[:, None]
+            ov = okp if ov is None else (ov & okp)
+        return ov & valid[None, :]
+
+    def lists(ov, pad_idx, cap):
+        counts = ov.sum(1)
+        K = int(_round_up(max(int(counts.max()), 1), 128))
+        # Peel only when the compacted set is materially smaller than the
+        # full table (otherwise the peel instance just duplicates code
+        # and VMEM: book2's sphere cluster spans most tile frusta, and
+        # its K-wide per-tile tables pushed the kernel over the VMEM
+        # budget — compile-helper HTTP 500, r4).
+        if K > cap // 2 or K > 1024:
+            return None, None
+        idx = np.full((n_tiles, K), pad_idx, np.int32)
+        for t in range(n_tiles):
+            w = np.nonzero(ov[t])[0]
+            idx[t, :w.size] = w
+        return idx, K
+
+    out = {}
+    if sphere_peel:
+        c0 = np.asarray(sp.c0, np.float64)
+        c1 = np.asarray(sp.c1, np.float64)
+        r = np.abs(np.asarray(sp.radius, np.float64))[:, None]
+        valid = np.asarray(sp.valid)
+        idx, K = lists(overlap(np.minimum(c0, c1) - r,
+                               np.maximum(c0, c1) + r, valid),
+                       s_pad_ov - 1, s_pad_ov)
+        if idx is not None:
+            ptf, pti = _gather_peel_tables(scene, jnp.asarray(idx),
+                                           s_pad_ov)
+            out.update(ptab_full=ptf, ptab_int=pti, p_k=K,
+                       s_pad_override=s_pad_ov)
+    if planar_peel:
+        los, his, vals = [], [], []
+        if wr:
+            ax = np.asarray(rc_.axis)
+            eye = np.eye(3)
+            a_ax = np.where(ax == 0, 1, 0)
+            b_ax = np.where(ax == 2, 1, 2)
+            k_ = np.asarray(rc_.k, np.float64)
+            a0 = np.asarray(rc_.a0, np.float64)
+            a1 = np.asarray(rc_.a1, np.float64)
+            b0 = np.asarray(rc_.b0, np.float64)
+            b1 = np.asarray(rc_.b1, np.float64)
+            pad = 1e-4      # rectangular.rs thin-slab padding
+            lo = (eye[ax] * (k_ - pad)[:, None]
+                  + eye[a_ax] * np.minimum(a0, a1)[:, None]
+                  + eye[b_ax] * np.minimum(b0, b1)[:, None])
+            hi = (eye[ax] * (k_ + pad)[:, None]
+                  + eye[a_ax] * np.maximum(a0, a1)[:, None]
+                  + eye[b_ax] * np.maximum(b0, b1)[:, None])
+            los.append(lo)
+            his.append(hi)
+            vals.append(np.asarray(rc_.valid))
+        if wt:
+            v0 = np.asarray(tr.v0, np.float64)
+            v1 = np.asarray(tr.v1, np.float64)
+            v2 = np.asarray(tr.v2, np.float64)
+            los.append(np.minimum(np.minimum(v0, v1), v2))
+            his.append(np.maximum(np.maximum(v0, v1), v2))
+            vals.append(np.asarray(tr.valid))
+        lo = np.concatenate(los, axis=0)
+        hi = np.concatenate(his, axis=0)
+        valid = np.concatenate(vals, axis=0)
+        idx, K = lists(overlap(lo, hi, valid), r_pad - 1, r_pad)
+        if idx is not None:
+            ppd, ppo, ppg = _gather_peel_planar(scene, jnp.asarray(idx),
+                                                r_pad, wr, wt)
+            out.update(ptab_pd=ppd, ptab_po=ppo, ptab_pg=ppg, pp_k=K)
+    if not out:
+        out = None
     # Strong refs to the source arrays pin their ids while cached (an
     # id-keyed cache would otherwise alias recycled buffers).
-    _PEEL_CACHE[key] = (out, (sp.c0, sp.c1, sp.radius, cam.origin))
+    _PEEL_CACHE[key] = (out, (sp.c0, rc_.k, tr.v0, cam.origin))
     while len(_PEEL_CACHE) > 16:
         _PEEL_CACHE.pop(next(iter(_PEEL_CACHE)))
     return out
@@ -2245,19 +2423,18 @@ def _peel_primary_tables(scene: SceneData, cfg: RenderConfig, cam: Camera,
 def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  lane_start, n_chunk: int, seed, **kw):
     """Public fused-render entry: _render_fused_core plus, for concrete
-    sphere-only full-frame calls, the peeled-primary host prepass (the
-    per-tile compacted tables shrink bounce 0 from s_pad to K spheres).
+    full-frame calls, the peeled-primary host prepass (per-tile
+    compacted tables shrink bounce 0 from s_pad/r_pad to K primitives).
     Traced callers (fused_diff custom_vjp, shard_map bodies) fall through
     to the plain core. All _render_fused_core kwargs pass through."""
     static = kw.get("static")
     try:
         eligible = (
             kw.get("ptab_full") is None and "p_k" not in kw
+            and "pp_k" not in kw
             and static is not None
-            and static.n_spheres > 0
-            and static.n_rects + static.n_triangles == 0
-            and static.n_volumes == 0
             and kw.get("s_pad_override") is None
+            and kw.get("r_chunk_override") is None
             and not kw.get("s_chunk_override")
             and os.environ.get("RTW_S_CHUNK", "0") in ("", "0")
             and "notile" not in kw.get("ablate", "")
@@ -2270,16 +2447,16 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
     except jax.errors.ConcretizationTypeError:
         eligible = False
     if eligible:
-        peel = _peel_primary_tables(scene, cfg, cam, n_chunk,
-                                    kw.get("tile_override"))
-        if peel is not None:
-            ptf, pti, K, s_pad = peel
-            kw2 = dict(kw)
-            kw2.pop("ablate", None)
+        dfr = (kw.get("defer_tex")
+               if kw.get("defer_tex") is not None
+               else bool(static.has_noise or static.has_image))
+        peel = _peel_primary_tables(scene, static, cfg, cam, n_chunk,
+                                    kw.get("tile_override"), dfr,
+                                    bool(kw.get("emit_paths")))
+        if peel:
+            kw2 = {k: v for k, v in kw.items() if k not in peel}
             return _render_fused_core(scene, cfg, cam, lane_start, n_chunk,
-                                      seed, ptab_full=ptf, ptab_int=pti,
-                                      p_k=K, s_pad_override=s_pad,
-                                      ablate=kw.get("ablate", ""), **kw2)
+                                      seed, **peel, **kw2)
     return _render_fused_core(scene, cfg, cam, lane_start, n_chunk, seed,
                               **kw)
 

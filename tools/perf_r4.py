@@ -109,27 +109,11 @@ def F3_fwdbwd_profile(name="jumpy_balls", reps=5):
 
 def F4_criterion_batch(frames=8, reps=3):
     """Criterion config (book2 40x22x100 d50, basic_benchmark.rs:161-175)
-    batched over N seeds in one dispatch so the chip has work."""
-    from raytracer_weekend_tpu.ops.pallas.megakernel import render_fused
+    batched as ONE dispatch at frames*100 spp: separate per-frame
+    dispatches stay latency-bound (measured 0.85M seg/s — the 497K-lane
+    frame cannot occupy the chip); widening the spp axis is the
+    statistically equivalent way to give the chip work."""
+    from tools.perf_r3 import run1
 
-    scene, static, cfg, cam = setup("book2_final_scene", w=40, h=22,
-                                    spp=100, depth=50)
-    n = cfg.n_rays
-
-    def nframe(seeds):
-        outs = [render_fused(scene, cfg, cam, 0, n, jnp.uint32(s),
-                             static=static) for s in seeds]
-        return outs
-
-    seeds = list(range(frames))
-    t0 = time.time()
-    outs = jax.block_until_ready(nframe(seeds))
-    print(f"  compile+1 {time.time()-t0:.1f}s", flush=True)
-    segs = sum(int(sg.sum()) for _, sg in outs)
-    t0 = time.time()
-    for _ in range(reps):
-        outs = nframe(seeds)
-    jax.block_until_ready(outs)
-    dt = (time.time() - t0) / reps
-    print(f"[criterion x{frames}] {dt:.3f}s batch {dt/frames*1e3:.0f} "
-          f"ms/frame seg/s={segs/dt/1e6:.2f}M", flush=True)
+    run1("book2_final_scene", f"criterion-x{frames}", reps=reps,
+         w=40, h=22, spp=100 * frames, depth=50)
