@@ -232,7 +232,8 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
             n_vol: int = 0, ablate: str = "",
             defer_tex: bool = False, emit_paths: bool = False,
             primary_clist: bool = False, p_k: int = 0,
-            pp_k: int = 0):
+            pp_k: int = 0, d0: int = 0, phase_in: bool = False,
+            phase_out: bool = False):
     f = jnp.float32
     L = tile_b // 8  # per-ray state is (8, L): full VPU sublane utilization
     # Timing ablations produce wrong output and may not combine with the
@@ -243,6 +244,12 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
     n_sch = (s_pad // s_chunk) if (has_sph and s_chunk) else 1
 
     i_ref = 0
+    if phase_in:
+        # Mid-phase resume: per-lane state from the previous depth phase
+        # (stream compaction between phases — SURVEY §5.7). 120 rows =
+        # 15 planes x 8 sublanes: o(3) d(3) tp(3) rad(3) time alive seg.
+        stin_ref = refs[i_ref]
+        i_ref += 1
     if has_sph:
         tab_ref = refs[i_ref]
         tab_int_ref = refs[i_ref + 1]
@@ -291,6 +298,9 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
         # residuals consumed by integrator.replay_rays.
         pth_ref = refs[i_ref]
         i_ref += 1
+    if phase_out:
+        stout_ref = refs[i_ref]
+        i_ref += 1
 
     # All table matmuls run at HIGHEST precision: Mosaic's (and XLA:TPU's)
     # DEFAULT f32 dot is bf16-pass reduced precision, which puts ~1e-2
@@ -315,42 +325,60 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
     # decouple, and the loaded id keys the RNG so the per-lane image is
     # bitwise independent of the assignment.
     lane = rid_ref[0:8, :]
-    in_chunk = lane < (ipar_ref[0, 0] + n_live)
     rid = jax.lax.bitcast_convert_type(lane, jnp.uint32)
     # Mosaic only bitcasts vectors: broadcast the scalar seed first (via the
     # concrete-layout iota, not jnp.zeros — see bounce_state note).
     seed = jax.lax.bitcast_convert_type(lane * 0 + ipar_ref[0, 1], jnp.uint32)
     zero_u = jax.lax.bitcast_convert_type(lane * 0, jnp.uint32)
 
-    # ---- primary rays (integrator._pixel_rays + camera.get_rays) ----------
-    # col/row are precomputed host-side: Mosaic's int-div-by-constant
-    # lowering needs i64 truncation it doesn't support.
-    col = colrow_ref[0:8, :]
-    row = colrow_ref[8:16, :]
+    if phase_in:
+        ox = stin_ref[0:8, :]
+        oy = stin_ref[8:16, :]
+        oz = stin_ref[16:24, :]
+        dx = stin_ref[24:32, :]
+        dy = stin_ref[32:40, :]
+        dz = stin_ref[40:48, :]
+        tp0r = stin_ref[48:56, :]
+        tp0g = stin_ref[56:64, :]
+        tp0b = stin_ref[64:72, :]
+        rd0r = stin_ref[72:80, :]
+        rd0g = stin_ref[80:88, :]
+        rd0b = stin_ref[88:96, :]
+        time = stin_ref[96:104, :]
+        alive0 = stin_ref[104:112, :]
+        seg0 = stin_ref[112:120, :]
+    else:
+        in_chunk = lane < (ipar_ref[0, 0] + n_live)
 
-    j0, j1, _, _ = _rand4(rid, zero_u, rt_rng.SALT_PIXEL_JITTER, seed)
-    s = (col + j0) / f(width - 1)
-    t = (row + j1) / f(height - 1)
+        # ---- primary rays (integrator._pixel_rays + camera.get_rays) ------
+        # col/row are precomputed host-side: Mosaic's int-div-by-constant
+        # lowering needs i64 truncation it doesn't support.
+        col = colrow_ref[0:8, :]
+        row = colrow_ref[8:16, :]
 
-    l0, l1, _, _ = _rand4(rid, zero_u, rt_rng.SALT_LENS, seed)
-    lrad = jnp.sqrt(l0)
-    lphi = _TWO_PI * l1
-    rdx = P(18) * lrad * jnp.cos(lphi)   # lens_radius * disk sample
-    rdy = P(18) * lrad * jnp.sin(lphi)
+        j0, j1, _, _ = _rand4(rid, zero_u, rt_rng.SALT_PIXEL_JITTER, seed)
+        sx = (col + j0) / f(width - 1)
+        tx = (row + j1) / f(height - 1)
 
-    u0, _, _, _ = _rand4(rid, zero_u, rt_rng.SALT_TIME, seed)
-    time = P(19) + u0 * P(20)          # time0 + U * (time1 - time0)
+        l0, l1, _, _ = _rand4(rid, zero_u, rt_rng.SALT_LENS, seed)
+        lrad = jnp.sqrt(l0)
+        lphi = _TWO_PI * l1
+        rdx = P(18) * lrad * jnp.cos(lphi)   # lens_radius * disk sample
+        rdy = P(18) * lrad * jnp.sin(lphi)
 
-    offx = P(12) * rdx + P(15) * rdy   # cam.u * rd.x + cam.v * rd.y
-    offy = P(13) * rdx + P(16) * rdy
-    offz = P(14) * rdx + P(17) * rdy
+        u0, _, _, _ = _rand4(rid, zero_u, rt_rng.SALT_TIME, seed)
+        time = P(19) + u0 * P(20)          # time0 + U * (time1 - time0)
 
-    ox = P(0) + offx
-    oy = P(1) + offy
-    oz = P(2) + offz
-    dx = P(3) + s * P(6) + t * P(9) - P(0) - offx
-    dy = P(4) + s * P(7) + t * P(10) - P(1) - offy
-    dz = P(5) + s * P(8) + t * P(11) - P(2) - offz
+        offx = P(12) * rdx + P(15) * rdy   # cam.u * rd.x + cam.v * rd.y
+        offy = P(13) * rdx + P(16) * rdy
+        offz = P(14) * rdx + P(17) * rdy
+
+        ox = P(0) + offx
+        oy = P(1) + offy
+        oz = P(2) + offz
+        dx = P(3) + sx * P(6) + tx * P(9) - P(0) - offx
+        dy = P(4) + sx * P(7) + tx * P(10) - P(1) - offy
+        dz = P(5) + sx * P(8) + tx * P(11) - P(2) - offz
 
     bg_r, bg_g, bg_b = P(21), P(22), P(23)
 
@@ -358,13 +386,17 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
     # Derive the 0/1 init vectors from loaded data, not jnp.zeros/ones:
     # broadcast constants carry a replicated layout that Mosaic cannot
     # reconcile with concrete loop-carried layouts ("Sublane broadcast").
-    zero_f = col * 0.0
+    zero_f = time * 0.0
     one_f = zero_f + 1.0
     time2 = time * time
 
     def bounce_state():
         # `alive`/`seg` are carried as f32 0/1 masks and counts: Mosaic
         # rejects i1 vectors in loop carries and bool<->number casts.
+        if phase_in:
+            return (jnp.int32(0), ox, oy, oz, dx, dy, dz,
+                    tp0r, tp0g, tp0b, rd0r, rd0g, rd0b,
+                    jnp.where(alive0 > 0.0, one_f, zero_f), seg0)
         return (jnp.int32(0), ox, oy, oz, dx, dy, dz,
                 one_f, one_f, one_f,
                 zero_f, zero_f, zero_f,
@@ -379,7 +411,9 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
          alive_m, seg) = st
         alive = alive_m > 0.0
         seg = seg + alive_m
-        depth_u = jax.lax.bitcast_convert_type(lane * 0 + i, jnp.uint32)
+        # d0 offsets the RNG depth key in mid phases (stream compaction).
+        depth_u = jax.lax.bitcast_convert_type(lane * 0 + i + d0,
+                                               jnp.uint32)
 
         # -- intersection: quadratic coefficients on the MXU ----------------
         # half_b = o.d - d.c(time);  c_term = |o - c(time)|^2 - r^2, with
@@ -1203,12 +1237,29 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
         # (i == 0 comparisons inside this instantiation constant-fold.)
         st0 = body(st0, primary=True)
     st = jax.lax.while_loop(cond, body, st0)
-    (_, _, _, _, _, _, _, _, _, _, rr_, rg_, rb_, _, seg) = st
+    (_, fox, foy, foz, fdx, fdy, fdz, ftr, ftg, ftb,
+     rr_, rg_, rb_, falive, seg) = st
 
     rad_ref[0:8, :] = rr_
     rad_ref[8:16, :] = rg_
     rad_ref[16:24, :] = rb_
     seg_ref[:, :] = seg  # f32 counts; cast to int32 outside the kernel
+    if phase_out:
+        stout_ref[0:8, :] = fox
+        stout_ref[8:16, :] = foy
+        stout_ref[16:24, :] = foz
+        stout_ref[24:32, :] = fdx
+        stout_ref[32:40, :] = fdy
+        stout_ref[40:48, :] = fdz
+        stout_ref[48:56, :] = ftr
+        stout_ref[56:64, :] = ftg
+        stout_ref[64:72, :] = ftb
+        stout_ref[72:80, :] = rr_
+        stout_ref[80:88, :] = rg_
+        stout_ref[88:96, :] = rb_
+        stout_ref[96:104, :] = time
+        stout_ref[104:112, :] = falive
+        stout_ref[112:120, :] = seg
 
 
 # --------------------------------------------------------------------------
@@ -1603,7 +1654,8 @@ def _pack_par(scene: SceneData, cam: Camera) -> Array:
 
 def _combine_deferred(scene: SceneData, ctb: Array, dfr: Array,
                       *, has_noise: bool, has_image: bool,
-                      pallas_noise: bool = False) -> Array:
+                      pallas_noise: bool = False,
+                      return_factors: bool = False):
     """rad = sum_k c_k * prod_{j<=k} f_j  over deferred noise/image texels.
 
     The kernel shaded deferred texels as 1.0 and recorded (a, b, c, code)
@@ -1633,7 +1685,13 @@ def _combine_deferred(scene: SceneData, ctb: Array, dfr: Array,
                                       has_image=has_image,
                                       pallas_noise=pallas_noise)
         f_rgb = jnp.where((absid > 0)[..., None], f_rgb, 1.0)
-        return jnp.sum(ctb * jnp.cumprod(f_rgb, axis=1), axis=1)
+        cp = jnp.cumprod(f_rgb, axis=1)
+        rad = jnp.sum(ctb * cp, axis=1)
+        if return_factors:
+            # Full per-lane deferred-factor product: the cross-phase
+            # chaining term of the depth-phased render (render_fused_deep).
+            return rad, cp[:, -1]
+        return rad
 
     # Evaluate in fixed-size pieces: the texel graph (Perlin turbulence +
     # image-atlas gathers) makes the TPU compiler's time explode
@@ -1651,6 +1709,10 @@ def _combine_deferred(scene: SceneData, ctb: Array, dfr: Array,
     out = jax.lax.map(combine,
                       (ctb_p.reshape(n_p, piece, *ctb.shape[1:]),
                        dfr_p.reshape(n_p, piece, *dfr.shape[1:])))
+    if return_factors:
+        rad, fac = out
+        return (rad.reshape(n_p * piece, 3)[:B],
+                fac.reshape(n_p * piece, 3)[:B])
     return out.reshape(n_p * piece, 3)[:B]
 
 
@@ -1679,6 +1741,13 @@ def _block_perm(cfg: RenderConfig, b_pad: int):
         perm_np = _np.concatenate(
             [perm_np, _np.arange(perm_np.size, b_pad)])
     return perm_np, bw, bh
+
+
+
+def _wide_of(x, n_tiles, lanes_l):
+    """(b_pad,) -> (8, n_tiles*L), the kernel's (8, L) tile layout."""
+    return x.reshape(n_tiles, 8, lanes_l).transpose(1, 0, 2).reshape(
+        8, n_tiles * lanes_l)
 
 
 def _tile_b(s_pad: int) -> int:
@@ -1771,7 +1840,8 @@ def _derive_sizes(cfg: RenderConfig, S: int, n_planar: int,
                                     "r_chunk_override", "s_chunk_override",
                                     "ablate", "static",
                                     "defer_tex", "emit_paths", "p_k",
-                                    "pp_k"))
+                                    "pp_k", "d0", "phase_in",
+                                    "phase_out"))
 def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  lane_start, n_chunk: int, seed,
                  interpret: bool = False,
@@ -1785,7 +1855,9 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  emit_paths: bool = False,
                  ptab_full=None, ptab_int=None, p_k: int = 0,
                  ptab_pd=None, ptab_po=None, ptab_pg=None,
-                 pp_k: int = 0):
+                 pp_k: int = 0,
+                 state_in=None, rid_in=None, d0: int = 0,
+                 phase_in: bool = False, phase_out: bool = False):
     """Render lanes [lane_start, lane_start + n_chunk) fully fused.
 
     Returns (radiance (n_chunk, 3) f32, segments (n_chunk,) int32) — per-lane
@@ -1877,8 +1949,15 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
 
     # Per-lane film coordinates (bottom-up rows, _pixel_rays semantics),
     # computed with XLA int ops: Mosaic lacks i64 for div-by-constant.
-    lane = (jnp.asarray(lane_start, jnp.int32)
-            + jnp.arange(b_pad, dtype=jnp.int32))
+    if phase_in:
+        # Mid phases carry the ORIGINAL per-lane ids of the compacted
+        # survivors (RNG keying); padded tail lanes ride dead (alive=0
+        # in the padded state rows).
+        lane = jnp.pad(jnp.asarray(rid_in, jnp.int32),
+                       ((0, b_pad - rid_in.shape[0]),))
+    else:
+        lane = (jnp.asarray(lane_start, jnp.int32)
+                + jnp.arange(b_pad, dtype=jnp.int32))
 
     # 2D-tiled ray order for the chunked planar path: assign each ray TILE a
     # Morton (Z-order) pixel block instead of a width-wide scanline strip
@@ -1899,6 +1978,7 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                      or (has_sph and s_pad >= 384)
                      or "forcetile" in ablate)
                     and "notile" not in ablate
+                    and not phase_in
                     and n_chunk == cfg.n_rays)
     if (p_k or pp_k) and (not block_tiling or n_sch > 1):
         raise ValueError("peeled-primary tables require block tiling and "
@@ -2019,7 +2099,8 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
         s_pad=s_pad, s_chunk=s_chunk,
         has_sph=has_sph, has_planar=has_planar, n_vol=n_vol, ablate=ablate,
         defer_tex=defer_tex, emit_paths=emit_paths,
-        primary_clist=primary_clist, p_k=p_k, pp_k=pp_k)
+        primary_clist=primary_clist, p_k=p_k, pp_k=pp_k,
+        d0=d0, phase_in=phase_in, phase_out=phase_out)
 
     D = cfg.max_depth
     out_specs = [
@@ -2043,6 +2124,17 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                                       memory_space=pltpu.VMEM))
         out_shapes.append(
             jax.ShapeDtypeStruct((8 * D, n_tiles * lanes_l), jnp.float32))
+    if phase_out:
+        out_specs.append(pl.BlockSpec((120, lanes_l), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((120, n_tiles * lanes_l), jnp.float32))
+    if phase_in:
+        sti = jnp.pad(jnp.asarray(state_in, jnp.float32),
+                      ((0, b_pad - state_in.shape[0]), (0, 0)))
+        stin_planes = jnp.concatenate(
+            [_wide_of(sti[:, c], n_tiles, lanes_l) for c in range(15)],
+            axis=0)                                  # (120, n_tiles*L)
 
     # Slab the grid: the TPU compile helper crashes once a call's total
     # output elements pass ~10-60M (book2 defer_tex at frame-scale grids;
@@ -2114,6 +2206,11 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
         for pos, spec, arr, sl in ins:
             tabs_k.insert(pos, sl(arr, g0, gk))
             specs_k.insert(pos, spec)
+        st_in = ([pl.BlockSpec((120, lanes_l), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)]
+                 if phase_in else [])
+        st_arg = ([stin_planes[:, g0 * lanes_l:(g0 + gk) * lanes_l]]
+                  if phase_in else [])
         return pl.pallas_call(
             kernel,
             grid=(gk,),
@@ -2124,6 +2221,7 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, lanes_l), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
+                *st_in,
                 *specs_k,
             ],
             out_specs=out_specs,
@@ -2135,7 +2233,7 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                 transcendentals=cfg.max_depth * (gk * tile_b) * 24,
             ),
             interpret=interpret,
-        )(par, ipar, colrow_k, rid_k, *tabs_k)
+        )(par, ipar, colrow_k, rid_k, *st_arg, *tabs_k)
 
     if n_slabs == 1:
         rad, seg, *aux = call_slab(colrow, ridp, 0, n_tiles)
@@ -2173,7 +2271,13 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
         rad = _combine_deferred(scene, ctb, dfr,
                                 has_noise=static.has_noise if static else True,
                                 has_image=static.has_image if static else True,
-                                pallas_noise=not interpret)
+                                pallas_noise=not interpret,
+                                return_factors=phase_out)
+        if phase_out:
+            rad, defer_factors = rad
+    if phase_out:
+        state_out = _unlane(aux[-1], 15)
+        aux = aux[:-1]
     if emit_paths:
         codes = _unlane(aux[-1], D)
     if block_tiling:
@@ -2192,9 +2296,18 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
         seg = _untile(seg)
         if emit_paths:
             codes = _untile(codes)
+        if phase_out:
+            state_out = _untile(state_out)
+            if defer_tex:
+                defer_factors = _untile(defer_factors)
+    outs = [rad[:n_chunk], seg[:n_chunk]]
     if emit_paths:
-        return rad[:n_chunk], seg[:n_chunk], codes[:n_chunk]
-    return rad[:n_chunk], seg[:n_chunk]
+        outs.append(codes[:n_chunk])
+    if phase_out:
+        outs.append(state_out[:n_chunk])
+        if defer_tex:
+            outs.append(defer_factors[:n_chunk])
+    return tuple(outs)
 
 
 # --------------------------------------------------------------------------
@@ -2420,6 +2533,101 @@ def _peel_primary_tables(scene: SceneData, static: SceneStatic,
     return out
 
 
+def render_fused_deep(scene: SceneData, cfg: RenderConfig, cam: Camera,
+                      lane_start, n_chunk: int, seed,
+                      static: SceneStatic, phase_len: int = 10,
+                      interpret: bool = False, peel_kw=None,
+                      min_bucket: int = 1024):
+    """Depth-phased fused render with stream compaction between phases.
+
+    SURVEY §5.7's missing piece (lib.rs:97-117 attrition): the single-pass
+    kernel's while_loop runs a tile until its LAST lane dies — at depth 50
+    the reference criterion config traces at ~11% slot occupancy. This
+    driver splits the depth range into phases of `phase_len` bounces; the
+    kernel emits per-lane state, the host counts survivors (one device
+    sync per phase), gathers live lanes into a power-of-two bucket (so
+    recompiles amortize across runs), and resumes the next phase on the
+    compacted set. Per-lane results are bitwise-identical to the
+    single-pass render: the counter-based RNG keys on (lane id, absolute
+    depth), so a lane's path does not depend on its batch position.
+
+    Deferred noise/image texels chain across phases as
+    total = sum_p (prod_{q<p} F_q) * R_p with per-phase combine results
+    R_p and full factor products F_p, scattered back to original lane
+    slots each phase.
+    """
+    import dataclasses as _dc
+
+    import numpy as np
+
+    D = cfg.max_depth
+    defer = bool(static.has_noise or static.has_image)
+    n = n_chunk
+    rad_bank = jnp.zeros((n, 3), jnp.float32)
+    seg_bank = jnp.zeros((n,), jnp.int32)
+    gids = jnp.arange(n, dtype=jnp.int32)
+    rid = jnp.asarray(int(lane_start) + np.arange(n, dtype=np.int32))
+    R_cum = jnp.zeros((n, 3), jnp.float32)
+    F_cum = jnp.ones((n, 3), jnp.float32)
+    state = None
+    cur_n = n
+    d0 = 0
+    while d0 < D:
+        P = min(phase_len, D - d0)
+        cfgp = _dc.replace(cfg, max_depth=P)
+        if state is None:
+            res = _render_fused_core(scene, cfgp, cam, lane_start, cur_n,
+                                     seed, interpret=interpret,
+                                     static=static, phase_out=True,
+                                     **(peel_kw or {}))
+        else:
+            res = _render_fused_core(scene, cfgp, cam, 0, cur_n, seed,
+                                     interpret=interpret, static=static,
+                                     state_in=state, rid_in=rid, d0=d0,
+                                     phase_in=True, phase_out=True)
+        if defer:
+            rad_p, _, st, F_p = res
+        else:
+            rad_p, _, st = res
+            F_p = None
+        # Cumulative per-lane totals banked into ORIGINAL lane slots.
+        if defer:
+            R_tot = R_cum + F_cum * rad_p
+        else:
+            # non-defer: the kernel's radiance rides in state and is
+            # already cumulative across phases.
+            R_tot = rad_p
+        rad_bank = rad_bank.at[gids].set(R_tot)
+        seg_bank = seg_bank.at[gids].set(
+            jnp.round(st[:, 14]).astype(jnp.int32))
+        d0 += P
+        if d0 >= D:
+            break
+        alive = st[:, 13] > 0.0
+        live = int(jnp.sum(alive))          # one host sync per phase
+        if live == 0:
+            break
+        bucket = max(min_bucket, 1 << (live - 1).bit_length())
+        bucket = min(bucket, cur_n)
+        if bucket < cur_n:
+            order = jnp.argsort(jnp.where(alive, 0, 1).astype(jnp.int32),
+                                stable=True)
+            sel = order[:bucket]
+            st = st[sel]
+            rid = rid[sel]
+            gids = gids[sel]
+            if defer:
+                R_cum = R_tot[sel]
+                F_cum = (F_cum * F_p)[sel]
+        else:
+            if defer:
+                R_cum = R_tot
+                F_cum = F_cum * F_p
+        state = st
+        cur_n = int(st.shape[0])
+    return rad_bank, seg_bank
+
+
 def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  lane_start, n_chunk: int, seed, **kw):
     """Public fused-render entry: _render_fused_core plus, for concrete
@@ -2446,7 +2654,18 @@ def render_fused(scene: SceneData, cfg: RenderConfig, cam: Camera,
             and not isinstance(cam.origin, jax.core.Tracer))
     except jax.errors.ConcretizationTypeError:
         eligible = False
+    deep = (eligible and cfg.max_depth >= 16
+            and not kw.get("emit_paths")
+            and "nodeep" not in kw.get("ablate", "")
+            and not kw.get("ablate"))
     if eligible:
+        if deep:
+            # Depth-phased render with stream compaction (deep configs
+            # run at low slot occupancy in a single pass — see
+            # render_fused_deep).
+            return render_fused_deep(
+                scene, cfg, cam, lane_start, n_chunk, seed, static,
+                interpret=bool(kw.get("interpret", False)))
         dfr = (kw.get("defer_tex")
                if kw.get("defer_tex") is not None
                else bool(static.has_noise or static.has_image))

@@ -14,6 +14,9 @@ from raytracer_weekend_tpu.config import RenderConfig
 from raytracer_weekend_tpu.models.scenes import generate_scene
 
 
+pytestmark = pytest.mark.slow  # heavy: see pytest.ini
+
+
 def _render(name, w, h, spp, depth, seed=0):
     data, static, cams = generate_scene(name, w / h, seed=seed)
     cfg = RenderConfig(width=w, height=h, samples_per_pixel=spp,

@@ -9,6 +9,7 @@ differentiable code (integrator.replay_rays). These tests pin:
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import jax.tree_util as jtu
 import numpy as np
@@ -77,6 +78,7 @@ def test_fused_grad_matches_staged_grad():
         assert np.abs(a - b).max() / scale < 5e-3
 
 
+@pytest.mark.slow
 def test_train_step_fused_reduces_loss():
     """End-to-end: sharded train step dispatches through the fused VJP
     (use_pallas=True, ray-axis-only mesh) and the loss drops."""

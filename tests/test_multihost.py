@@ -48,6 +48,9 @@ print("WORKER_OK", pid)
 """
 
 
+pytestmark = pytest.mark.slow  # heavy: see pytest.ini
+
+
 @pytest.mark.slow
 def test_two_process_render_matches_single(tmp_path):
     port = _free_port()

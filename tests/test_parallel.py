@@ -21,6 +21,9 @@ from raytracer_weekend_tpu.parallel import (
 from raytracer_weekend_tpu.scene import builder as B
 
 
+pytestmark = pytest.mark.slow  # heavy: see pytest.ini
+
+
 def _scene(bvh="auto"):
     objs = [
         B.Sphere((0, -100.5, -1), 100.0,
