@@ -161,7 +161,12 @@ def main() -> int:
     # fused_diff.py) when eligible, else the staged path's jax.grad. Counts
     # the same traced segments (identical paths/seed) per fwd+bwd second.
     interp = jax.default_backend() == "cpu"
-    dbatch = min(1 << 15 if cpu_fallback else 1 << 18, n_lanes)
+    # The fused custom VJP (Pallas replay-backward kernel, round 4) runs
+    # whole frames in one call; chunking to 2^18 was an XLA-replay-era
+    # limit and costs ~2.5x in per-chunk overheads (36 ms x 5 chunks vs
+    # 79 ms full-frame, v5e).
+    dcap = 1 << 21 if use_fused else 1 << 18
+    dbatch = min(1 << 15 if cpu_fallback else dcap, n_lanes)
     dstarts = list(range(0, n_lanes - dbatch + 1, dbatch))
 
     if use_fused:
