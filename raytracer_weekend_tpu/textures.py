@@ -116,17 +116,32 @@ def _image_fetch(table: TextureTable, img_id: Array, u: Array, v: Array,
     atlas was built). Bilinear mode gives smooth, useful gradients w.r.t. UV
     and is the default for inverse rendering.
     """
-    hw = table.image_hw[img_id]                    # (B,2)
-    h = hw[..., 0].astype(jnp.float32)
-    w = hw[..., 1].astype(jnp.float32)
+    # Per-record image dims via unrolled selects, NOT a gather: XLA's TPU
+    # gather costs ~10 cycles/INDEX on the scalar unit and the deferred
+    # combine fetches for B*D records; every catalog scene has <= 4
+    # images, so I selects beat 2 gathered indices per record.
+    n_img, ph, pw = table.images.shape[0:3]
+    hw_np = table.image_hw.astype(jnp.float32)
+    h = jnp.full(img_id.shape, hw_np[0, 0])
+    w = jnp.full(img_id.shape, hw_np[0, 1])
+    for k in range(1, n_img):
+        h = jnp.where(img_id == k, hw_np[k, 0], h)
+        w = jnp.where(img_id == k, hw_np[k, 1], w)
 
     uc = jnp.clip(u, 0.0, 1.0)
     vc = 1.0 - jnp.clip(v, 0.0, 1.0)
+    flat_img = table.images.reshape(n_img * ph * pw, 3)
+
+    def fetch(j, i):
+        # ONE linearized index per record instead of (img, row, col)
+        # advanced indexing — measured 106 ms for 11.5M records on v5e
+        # in the multi-component form.
+        return flat_img[(img_id * ph + j) * pw + i]
 
     if not bilinear:
         i = jnp.clip((uc * w).astype(jnp.int32), 0, (w - 1).astype(jnp.int32))
         j = jnp.clip((vc * h).astype(jnp.int32), 0, (h - 1).astype(jnp.int32))
-        return table.images[img_id, j, i]
+        return fetch(j, i)
 
     # Bilinear: sample at texel centers, clamp to edge.
     x = uc * w - 0.5
@@ -139,10 +154,10 @@ def _image_fetch(table: TextureTable, img_id: Array, u: Array, v: Array,
     yi0 = jnp.clip(y0.astype(jnp.int32), 0, (h - 1).astype(jnp.int32))
     xi1 = jnp.clip(xi0 + 1, 0, (w - 1).astype(jnp.int32))
     yi1 = jnp.clip(yi0 + 1, 0, (h - 1).astype(jnp.int32))
-    c00 = table.images[img_id, yi0, xi0]
-    c01 = table.images[img_id, yi0, xi1]
-    c10 = table.images[img_id, yi1, xi0]
-    c11 = table.images[img_id, yi1, xi1]
+    c00 = fetch(yi0, xi0)
+    c01 = fetch(yi0, xi1)
+    c10 = fetch(yi1, xi0)
+    c11 = fetch(yi1, xi1)
     top = c00 * (1.0 - fx) + c01 * fx
     bot = c10 * (1.0 - fx) + c11 * fx
     return top * (1.0 - fy) + bot * fy

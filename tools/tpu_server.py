@@ -42,8 +42,12 @@ print(f"# server ready, devices={jax.devices()} init={time.time()-t0:.0f}s",
 seen = set()
 idle_since = time.time()
 while True:
-    jobs = sorted(f for f in os.listdir(JOBS)
-                  if f.endswith(".py") and f not in seen)
+    jobs = sorted(
+        f for f in os.listdir(JOBS)
+        if f.endswith(".py") and f not in seen
+        # a fresh server must not replay already-completed jobs
+        and not os.path.exists(os.path.join(JOBS, f[:-3] + ".done"))
+        and not os.path.exists(os.path.join(JOBS, f[:-3] + ".fail")))
     if not jobs:
         if time.time() - idle_since > 6 * 3600:
             print("# idle 6h, exiting", flush=True)
