@@ -24,7 +24,8 @@ from raytracer_weekend_tpu.ops.pallas.rect_intersect import (
 from raytracer_weekend_tpu.ops.pallas.megakernel import (
     fused_supported,
     render_fused,
+    render_fused_deep,
 )
 
 __all__ = ["hit_spheres_pallas", "hit_triangles_pallas", "hit_rects_pallas",
-           "render_fused", "fused_supported"]
+           "render_fused", "render_fused_deep", "fused_supported"]

@@ -88,18 +88,36 @@ def measured_render(scene, static, cfg, cam, repeats: int = 1) -> RenderStats:
 
 
 def wavefront_occupancy(scene, static, cfg, cam, n_lanes: int = 65536):
-    """Live-ray fraction per bounce — the compaction-planning metric
-    (SURVEY.md §5.5: 'wavefront occupancy (live rays per pass)')."""
+    """Hit-recording lane fraction per bounce — the compaction-planning
+    metric (SURVEY.md §5.5: 'wavefront occupancy (live rays per pass)').
+
+    Fused-eligible scenes read the megakernel's per-bounce winner codes
+    directly (code > 0 = the lane was alive and recorded a hit at that
+    bounce — misses terminating that bounce are excluded); others re-run
+    the staged trace at increasing depth and difference the segment
+    counts."""
     from raytracer_weekend_tpu import integrator
 
     seed = jnp.uint32(cfg.seed)
-    ids = jnp.arange(min(n_lanes, cfg.n_rays), dtype=jnp.int32)
-    o, d, t, ray_id = integrator._pixel_rays(cam, cfg, ids, seed)
+    n = min(n_lanes, cfg.n_rays)
+    if integrator.fused_eligible(
+            static, dataclasses.replace(cfg, ray_batch=0)):
+        from raytracer_weekend_tpu.ops.pallas.megakernel import (
+            _render_fused_core)
 
+        # Probe the FULL frame: a contiguous lane window is a biased
+        # sample (the first 64K lanes of a 400x225x16 render are the top
+        # sky rows — measured all-zero occupancy on jumpy).
+        _, _, codes = _render_fused_core(
+            scene, dataclasses.replace(cfg, ray_batch=0), cam, 0,
+            cfg.n_rays, seed, static=static, emit_paths=True,
+            interpret=jnp.zeros(()).devices().pop().platform == "cpu")
+        return (np.asarray(codes) > 0).mean(axis=0)
+
+    ids = jnp.arange(n, dtype=jnp.int32)
+    o, d, t, ray_id = integrator._pixel_rays(cam, cfg, ids, seed)
     counts = []
     B = o.shape[0]
-    # Re-run trace step by step, reading the alive mask each bounce.
-    from raytracer_weekend_tpu.config import RenderConfig
     for depth in range(1, cfg.max_depth + 1):
         sub = dataclasses.replace(cfg, max_depth=depth)
         _, segs = integrator.trace_rays(scene, static, sub, o, d, t, ray_id,

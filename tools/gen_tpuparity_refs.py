@@ -25,10 +25,12 @@ from raytracer_weekend_tpu.config import RenderConfig  # noqa: E402
 from raytracer_weekend_tpu.models.scenes import SCENES  # noqa: E402
 from raytracer_weekend_tpu.scene import builder as B  # noqa: E402
 
-OUT = "/tmp/tpuparity_refs"
+OUT = os.environ.get("RTW_REF_DIR", "/tmp/tpuparity_refs")
 os.makedirs(OUT, exist_ok=True)
 
-cfg = RenderConfig(width=64, height=36, samples_per_pixel=16, max_depth=8,
+cfg = RenderConfig(width=int(os.environ.get("RTW_REF_W", 64)),
+                   height=int(os.environ.get("RTW_REF_H", 36)),
+                   samples_per_pixel=16, max_depth=8,
                    seed=0, use_pallas=False)
 for name in SCENES:
     path = os.path.join(OUT, f"{name}.npy")
