@@ -1901,7 +1901,6 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
     grid = (n_tiles,)
 
     tabs, tab_specs = [], []
-    ctab_s_pos = ctab_p_pos = None
     if has_sph:
         tab_full, tab_int = _build_table(
             scene, s_pad, s_chunk if n_sch > 1 else None)
@@ -1916,7 +1915,6 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
             svab_arr = _sphere_chunk_aabbs(scene, s_pad, s_chunk)
             tabs.append(svab_arr)
             tab_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-            ctab_s_pos = len(tabs)
     if has_planar:
         tab_pd, tab_po, tab_pg = _build_planar_tables(
             scene, r_pad, with_rects, with_tris, r_chunk)
@@ -1924,7 +1922,6 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
         vab_arr = _planar_chunk_aabbs(scene, r_pad, r_chunk,
                                       with_rects, with_tris)
         tabs += [tab_pd, tab_po, tab_pg, vab_arr]
-        ctab_p_pos = len(tabs)
         pd_rows = 24 if n_ch == 1 else n_ch * 8
         po_rows = 32 if n_ch == 1 else n_ch * 8
         tab_specs += [
