@@ -233,7 +233,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
             defer_tex: bool = False, emit_paths: bool = False,
             primary_clist: bool = False, p_k: int = 0,
             pp_k: int = 0, d0: int = 0, phase_in: bool = False,
-            phase_out: bool = False):
+            phase_out: bool = False, p_ovf: bool = False):
     f = jnp.float32
     L = tile_b // 8  # per-ray state is (8, L): full VPU sublane utilization
     # Timing ablations produce wrong output and may not combine with the
@@ -260,6 +260,11 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
             # unrolled bounce 0 only (host prepass, render_fused wrapper).
             ptab_ref, ptab_int_ref = refs[i_ref:i_ref + 2]
             i_ref += 2
+            if p_ovf:
+                # (1,1,1) SMEM flag: this tile's frustum set overflowed
+                # the K columns — bounce 0 falls back to the full table.
+                povf_ref = refs[i_ref]
+                i_ref += 1
         if n_sch > 1:
             svab_ref = refs[i_ref]     # (c, 8) SMEM sphere-chunk AABBs
             i_ref += 1
@@ -527,6 +532,10 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                     return tn_s, p_c                               # (2P, L)
 
                 sph_fns.append(sphere_chunk)
+                use_ovf = (primary and p_k and p_ovf
+                           and "nogather" not in ablate)
+                if use_ovf:
+                    continue        # rows computed post-loop (one cond)
                 if primary and p_k:
                     # Peeled bounce 0: intersect only THIS tile's
                     # frustum-compacted sphere set (p_k columns instead
@@ -540,6 +549,35 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                 tn_rows.append(best[0])
                 if "nogather" not in ablate:
                     param_rows.append(best[1])
+
+        if has_sph and primary and p_k and p_ovf \
+                and "nogather" not in ablate:
+            # K-128 peel with per-tile overflow: almost every tile's
+            # frustum set fits 128 columns (jumpy: 703/704, median 5);
+            # the rare overflowing tile intersects the full table via
+            # ONE lax.cond around the whole 8-row block (straight-line
+            # code — the one-cond-per-fori-body compile constraint
+            # applies to loop bodies).
+            def _peel_rows(_):
+                outs = []
+                for s in range(8):
+                    tn, pr = sph_fns[s](ptab_int_ref[0:144, :],
+                                        ptab_ref[0:2 * P_ROWS, :])
+                    outs += [tn, pr]
+                return tuple(outs)
+
+            def _full_rows(_):
+                outs = []
+                for s in range(8):
+                    tn, pr = sph_fns[s](tab_int_ref[0:144, :],
+                                        tab_ref[0:2 * P_ROWS, :])
+                    outs += [tn, pr]
+                return tuple(outs)
+
+            flat = jax.lax.cond(povf_ref[0, 0, 0] > 0, _full_rows,
+                                _peel_rows, 0)
+            tn_rows = list(flat[0::2])
+            param_rows = list(flat[1::2])
 
         if has_sph and n_sch > 1 and not (primary and p_k):
             # Chunked sphere walk (round 4): Morton-ordered sphere chunks
@@ -1841,7 +1879,7 @@ def _derive_sizes(cfg: RenderConfig, S: int, n_planar: int,
                                     "ablate", "static",
                                     "defer_tex", "emit_paths", "p_k",
                                     "pp_k", "d0", "phase_in",
-                                    "phase_out"))
+                                    "phase_out", "p_ovf"))
 def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  lane_start, n_chunk: int, seed,
                  interpret: bool = False,
@@ -1857,7 +1895,8 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  ptab_pd=None, ptab_po=None, ptab_pg=None,
                  pp_k: int = 0,
                  state_in=None, rid_in=None, d0: int = 0,
-                 phase_in: bool = False, phase_out: bool = False):
+                 phase_in: bool = False, phase_out: bool = False,
+                 ptab_ovf=None, p_ovf: bool = False):
     """Render lanes [lane_start, lane_start + n_chunk) fully fused.
 
     Returns (radiance (n_chunk, 3) f32, segments (n_chunk,) int32) — per-lane
@@ -2097,7 +2136,7 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
         has_sph=has_sph, has_planar=has_planar, n_vol=n_vol, ablate=ablate,
         defer_tex=defer_tex, emit_paths=emit_paths,
         primary_clist=primary_clist, p_k=p_k, pp_k=pp_k,
-        d0=d0, phase_in=phase_in, phase_out=phase_out)
+        d0=d0, phase_in=phase_in, phase_out=phase_out, p_ovf=p_ovf)
 
     D = cfg.max_depth
     out_specs = [
@@ -2178,6 +2217,9 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
             ins.append((fpos + 1, _vm_spec(144, p_k), ptab_int,
                         _col_sl(p_k)))
             fpos += 2
+            if p_ovf:
+                ins.append((fpos, _ct_spec(1), ptab_ovf, _tile_sl))
+                fpos += 1
         if n_sch > 1:
             fpos += 1                                # svab
             if primary_clist:
@@ -2453,21 +2495,29 @@ def _peel_primary_tables(scene: SceneData, static: SceneStatic,
             ov = okp if ov is None else (ov & okp)
         return ov & valid[None, :]
 
-    def lists(ov, pad_idx, cap):
+    def lists(ov, pad_idx, cap, allow_overflow=False):
         counts = ov.sum(1)
         K = int(_round_up(max(int(counts.max()), 1), 128))
+        ovf = None
+        if allow_overflow and K > 128 and (counts > 128).mean() <= 0.05:
+            # K is set by outlier tiles (jumpy: 1/704 tiles at 130 vs a
+            # median of 5): clamp to 128 and flag the outliers — the
+            # kernel falls back to the full table for flagged tiles via
+            # one cond around the peeled block.
+            K = 128
+            ovf = (counts > 128).astype(np.int32).reshape(n_tiles, 1, 1)
         # Peel only when the compacted set is materially smaller than the
         # full table (otherwise the peel instance just duplicates code
         # and VMEM: book2's sphere cluster spans most tile frusta, and
         # its K-wide per-tile tables pushed the kernel over the VMEM
         # budget — compile-helper HTTP 500, r4).
         if K > cap // 2 or K > 1024:
-            return None, None
+            return None, None, None
         idx = np.full((n_tiles, K), pad_idx, np.int32)
         for t in range(n_tiles):
             w = np.nonzero(ov[t])[0]
-            idx[t, :w.size] = w
-        return idx, K
+            idx[t, :min(w.size, K)] = w[:K]
+        return idx, K, ovf
 
     out = {}
     if sphere_peel:
@@ -2475,14 +2525,16 @@ def _peel_primary_tables(scene: SceneData, static: SceneStatic,
         c1 = np.asarray(sp.c1, np.float64)
         r = np.abs(np.asarray(sp.radius, np.float64))[:, None]
         valid = np.asarray(sp.valid)
-        idx, K = lists(overlap(np.minimum(c0, c1) - r,
-                               np.maximum(c0, c1) + r, valid),
-                       s_pad_ov - 1, s_pad_ov)
+        idx, K, ovf = lists(overlap(np.minimum(c0, c1) - r,
+                                    np.maximum(c0, c1) + r, valid),
+                            s_pad_ov - 1, s_pad_ov, allow_overflow=True)
         if idx is not None:
             ptf, pti = _gather_peel_tables(scene, jnp.asarray(idx),
                                            s_pad_ov)
             out.update(ptab_full=ptf, ptab_int=pti, p_k=K,
                        s_pad_override=s_pad_ov)
+            if ovf is not None:
+                out.update(ptab_ovf=jnp.asarray(ovf), p_ovf=True)
     if planar_peel:
         los, his, vals = [], [], []
         if wr:
@@ -2515,7 +2567,7 @@ def _peel_primary_tables(scene: SceneData, static: SceneStatic,
         lo = np.concatenate(los, axis=0)
         hi = np.concatenate(his, axis=0)
         valid = np.concatenate(vals, axis=0)
-        idx, K = lists(overlap(lo, hi, valid), r_pad - 1, r_pad)
+        idx, K, _ = lists(overlap(lo, hi, valid), r_pad - 1, r_pad)
         if idx is not None:
             ppd, ppo, ppg = _gather_peel_planar(scene, jnp.asarray(idx),
                                                 r_pad, wr, wt)
