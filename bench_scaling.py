@@ -1,12 +1,24 @@
-"""Scaling-efficiency benchmark: rays/s at 1 vs N processes.
+"""Scaling benchmark: partitioning + collective overhead, honestly labeled.
 
 BASELINE.md target: >=90% rays/s scaling efficiency from 1 host to >=2
-hosts. On this single-chip image the harness runs the CPU-process
-simulation (each "host" = one process with its own XLA CPU devices and TCP
-collectives); on a pod the same script runs unchanged per host with the
-axon/TPU backend.
+hosts. Real multi-host hardware does not exist on this image (one TPU chip
+behind a tunnel), so nothing here is *the* multi-host number; what CAN be
+measured honestly on a 2-core host is:
 
-    python bench_scaling.py              # 1-proc vs 2-proc, prints JSON
+  1. fixed-TOTAL-work strong scaling over 1/2/4/8 virtual CPU devices,
+     per mesh axis (rays / spp / geom). Virtual devices share the same
+     host cores, so the ideal is t(n) = t(1); t(1)/t(n) is a
+     work-normalized efficiency in [0, 1] whose shortfall is exactly the
+     partitioning + collective overhead XLA adds for that axis.
+  2. a 2-process jax.distributed run (TCP collectives — the DCN analog).
+     Two processes oversubscribe the 2 host cores (the workers measure
+     their own CPU-time/wall ratio and report it), so the efficiency is a
+     LOWER BOUND on what separate hosts would see, not an estimate of it.
+
+On a pod the same script runs unchanged per host with the TPU backend and
+then (and only then) reports a true 1->2 host efficiency.
+
+    python bench_scaling.py              # prints one JSON line
 """
 
 from __future__ import annotations
@@ -16,10 +28,9 @@ import os
 import socket
 import subprocess
 import sys
-import time
 
-_WORKER = r"""
-import os, sys, time
+_DCN_WORKER = r"""
+import os, resource, sys, time
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=%(devs)d"
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -41,12 +52,15 @@ cfg = RenderConfig(width=%(w)d, height=%(h)d, samples_per_pixel=%(spp)d,
 objs, cams, bg = jumpy_balls(cfg.aspect_ratio, seed=0)
 scene, static = B.build_scene(objs, background=bg, seed=0)
 img = render_multihost(scene, static, cfg, cams[0])      # warm/compile
+cpu0 = resource.getrusage(resource.RUSAGE_SELF)
+cpu0 = cpu0.ru_utime + cpu0.ru_stime
 t0 = time.time()
 for _ in range(%(reps)d):
     img = render_multihost(scene, static, cfg, cams[0])
-dt = (time.time() - t0) / %(reps)d
-if pid == 0:
-    print("RESULT", dt, flush=True)
+wall = (time.time() - t0)
+cpu1 = resource.getrusage(resource.RUSAGE_SELF)
+cpu1 = cpu1.ru_utime + cpu1.ru_stime
+print(f"RESULT {pid} {wall / %(reps)d} {(cpu1 - cpu0) / wall}", flush=True)
 """
 
 
@@ -58,29 +72,33 @@ def _free_port() -> int:
     return port
 
 
-def run_config(nproc: int, devs_per_proc: int, w=64, h=36, spp=4, depth=4,
-               reps=3) -> float:
-    code = _WORKER % dict(devs=devs_per_proc, nproc=nproc,
-                          repo=os.path.dirname(os.path.abspath(__file__)),
-                          w=w, h=h, spp=spp, depth=depth, reps=reps)
+def run_dcn(nproc: int, devs_per_proc: int, w=64, h=36, spp=4, depth=4,
+            reps=3):
+    """Returns (t_per_rep of proc 0, mean CPU-time/wall ratio per proc)."""
+    code = _DCN_WORKER % dict(devs=devs_per_proc, nproc=nproc,
+                              repo=os.path.dirname(os.path.abspath(__file__)),
+                              w=w, h=h, spp=spp, depth=depth, reps=reps)
     port = _free_port()
     procs = [subprocess.Popen(
         [sys.executable, "-c", code, str(i), str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         env={**os.environ, "JAX_PLATFORMS": "cpu"})
         for i in range(nproc)]
-    result = None
+    t0, ratios = None, []
     for p in procs:
         out, _ = p.communicate(timeout=600)
         for line in out.decode(errors="replace").splitlines():
             if line.startswith("RESULT"):
-                result = float(line.split()[1])
-    if result is None:
+                _, pid_s, t_s, r_s = line.split()
+                ratios.append(float(r_s))
+                if pid_s == "0":
+                    t0 = float(t_s)
+    if t0 is None:
         raise RuntimeError("no RESULT from workers")
-    return result
+    return t0, sum(ratios) / len(ratios)
 
 
-_WEAK_WORKER = r"""
+_STRONG_WORKER = r"""
 import os, sys, time
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
 import jax
@@ -94,79 +112,88 @@ from raytracer_weekend_tpu.scene import builder as B
 
 objs, cams, bg = jumpy_balls(16 / 9, seed=0)
 scene, static = B.build_scene(objs, background=bg, seed=0)
+# Fixed TOTAL work for every mesh shape (identical cfg, identical ray
+# population); use_pallas=False so every shape takes the same staged code
+# path (n=1 would otherwise qualify for fused-interpret — different code,
+# bogus ratio). Virtual devices share the host cores: ideal t(n) = t(1).
+cfg = RenderConfig(width=%(w)d, height=%(h)d, samples_per_pixel=%(spp)d,
+                   max_depth=%(depth)d, seed=0, use_pallas=False)
 out = {}
-for n in (1, 2, 4, 8):
-    # Fixed work PER DEVICE (%(spp)d spp each): the spp mesh axis scales
-    # total work with n while every device traces the identical ray
-    # population. All virtual devices share the same host cores, so ideal
-    # weak scaling here is t(n) = n * t(1); the shortfall is exactly the
-    # overhead added by partitioning + the spp-psum collective — the
-    # quantity the 2-process test cannot separate from CPU
-    # oversubscription.
-    # use_pallas=False: n=1 would otherwise qualify for the fused-interpret
-    # path while n>1 takes the staged one — different code, bogus ratio.
-    cfg = RenderConfig(width=%(w)d, height=%(h)d,
-                       samples_per_pixel=%(spp)d * n,
-                       max_depth=%(depth)d, seed=0, use_pallas=False)
-    rmesh = make_render_mesh((1, n, 1))
-    img = render_sharded(scene, static, cfg, cams[0], rmesh)  # compile
-    img.block_until_ready()
-    t0 = time.time()
-    for _ in range(%(reps)d):
-        render_sharded(scene, static, cfg, cams[0], rmesh).block_until_ready()
-    out[n] = (time.time() - t0) / %(reps)d
-print("WEAK " + json.dumps(out), flush=True)
+for axis, shape_of in (("rays", lambda n: (n, 1, 1)),
+                       ("spp", lambda n: (1, n, 1)),
+                       ("geom", lambda n: (1, 1, n))):
+    res = {}
+    for n in (1, 2, 4, 8):
+        rmesh = make_render_mesh(shape_of(n))
+        img = render_sharded(scene, static, cfg, cams[0], rmesh)
+        img.block_until_ready()
+        t0 = time.time()
+        for _ in range(%(reps)d):
+            render_sharded(scene, static, cfg, cams[0],
+                           rmesh).block_until_ready()
+        res[n] = (time.time() - t0) / %(reps)d
+    out[axis] = res
+print("STRONG " + json.dumps(out), flush=True)
 """
 
 
-def run_weak(w=64, h=36, spp=4, depth=4, reps=3) -> dict:
-    """Single-process weak scaling over 1/2/4/8 virtual devices."""
-    code = _WEAK_WORKER % dict(
+def run_strong(w=64, h=36, spp=8, depth=4, reps=3) -> dict:
+    """Single-process fixed-total-work scaling, per mesh axis."""
+    code = _STRONG_WORKER % dict(
         repo=os.path.dirname(os.path.abspath(__file__)),
         w=w, h=h, spp=spp, depth=depth, reps=reps)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         timeout=1200, env={**os.environ,
+                         timeout=2400, env={**os.environ,
                                             "JAX_PLATFORMS": "cpu"})
     for line in out.stdout.decode(errors="replace").splitlines():
-        if line.startswith("WEAK "):
-            return {int(k): v for k, v in json.loads(line[5:]).items()}
+        if line.startswith("STRONG "):
+            raw = json.loads(line[7:])
+            return {ax: {int(k): v for k, v in d.items()}
+                    for ax, d in raw.items()}
     raise RuntimeError(
-        f"no WEAK result: {out.stdout[-2000:]} {out.stderr[-2000:]}")
+        f"no STRONG result: {out.stdout[-2000:]} {out.stderr[-2000:]}")
 
 
 def main() -> int:
-    times = run_weak()
-    t1 = times[1]
-    weak_eff = {n: round(n * t1 / t, 4) for n, t in times.items()}
+    times = run_strong()
+    # Work-normalized efficiency in [0, 1]: same total work, shared cores,
+    # ideal t(n) = t(1); jitter can push a ratio epsilon over 1 — capped.
+    eff = {ax: {n: round(min(1.0, d[1] / t), 4) for n, t in d.items()}
+           for ax, d in times.items()}
+    worst = min(eff[ax][n] for ax in eff for n in (2, 4, 8))
 
-    total_devs = 4
-    # Same total device count both ways: 1 proc x 4 devices vs 2 procs x 2 —
-    # isolates the cross-process (DCN-analog) overhead.
-    p1 = run_config(1, total_devs)
-    p2 = run_config(2, total_devs // 2)
-    eff = p1 / p2  # equal work: efficiency = time ratio
-    weak_min = min(weak_eff[n] for n in (2, 4, 8))
+    t1, r1 = run_dcn(1, 4)
+    t2, r2 = run_dcn(2, 2)
+    dcn_eff = round(min(1.0, t1 / t2), 4)
+
     print(json.dumps({
-        "metric": "scaling_efficiency",
-        "value": round(weak_min, 4),
-        "unit": "x",
-        "vs_baseline": round(weak_min / 0.9, 4),
-        "weak_single_process": {
-            "t_per_ndev_s": {str(n): round(t, 4) for n, t in times.items()},
-            "efficiency_vs_1dev": {str(n): weak_eff[n] for n in weak_eff},
-            "note": "one process, 1/2/4/8 virtual CPU devices, fixed "
-                    "work/device (spp-sharded jumpy_balls); virtual devices "
-                    "share the host cores so ideal is t(n)=n*t(1) — the "
-                    "shortfall is pure partitioning+collective overhead, "
-                    "free of process oversubscription",
+        "metric": "fixed_work_partition_efficiency",
+        "value": round(worst, 4),
+        "unit": "fraction",
+        "vs_baseline": None,
+        "note": "NOT the BASELINE 1->2-host number: no second host exists "
+                "on this image. value = worst-case t(1)/t(n) over all mesh "
+                "axes and n in {2,4,8} virtual CPU devices at fixed TOTAL "
+                "work on shared cores (ideal 1.0; shortfall = partitioning "
+                "+ collective overhead for that axis).",
+        "strong_fixed_total_work": {
+            "t_s": {ax: {str(n): round(t, 4) for n, t in d.items()}
+                    for ax, d in times.items()},
+            "efficiency_t1_over_tn": {
+                ax: {str(n): eff[ax][n] for n in eff[ax]}
+                for ax in eff},
         },
-        "two_process_dcn": {
-            "t_1proc_s": round(p1, 4),
-            "t_2proc_s": round(p2, 4),
-            "efficiency_1to2": round(eff, 4),
-            "note": "2 processes on a 2-core host are oversubscribed; "
-                    "lower bound only — correctness/wire check, not the "
-                    "headline number",
+        "two_process_dcn_lower_bound": {
+            "t_1proc_s": round(t1, 4),
+            "t_2proc_s": round(t2, 4),
+            "efficiency_1to2_lower_bound": dcn_eff,
+            "cpu_over_wall_1proc": round(r1, 2),
+            "cpu_over_wall_2proc_mean": round(r2, 2),
+            "note": "2 jax.distributed processes with TCP collectives on "
+                    "one 2-core host; each worker reports its CPU/wall "
+                    "ratio — both processes contending for the same cores "
+                    "makes this a LOWER BOUND on separate-host efficiency, "
+                    "not an estimate of it.",
         },
     }))
     return 0

@@ -61,14 +61,17 @@ def _make_diff(static: SceneStatic, cfg: RenderConfig, n_chunk: int,
                                      emit_paths=True)
         return rad, (scene, cam, lane_start, seed, codes)
 
-    # The fused Pallas replay-backward kernel covers sphere-only scenes
-    # with solid/checker textures (ops/pallas/replay_bwd.py); everything
-    # else re-traces through the XLA replay (replay.py). Measured v5e
-    # (jumpy): XLA replay fwd+bwd 287 ms vs a 40 ms fused forward.
-    kernel_bwd = (static.n_spheres > 0
-                  and static.n_rects + static.n_triangles == 0
+    # The fused Pallas replay-backward kernel covers sphere + rect +
+    # triangle scenes with solid/checker textures (ops/pallas/
+    # replay_bwd.py); volume / noise / image / UVDebug scenes re-trace
+    # through the XLA replay (replay.py). Measured v5e (jumpy): XLA
+    # replay fwd+bwd 287 ms vs a 40 ms fused forward.
+    has_sph = static.n_spheres > 0
+    has_pla = static.n_rects + static.n_triangles > 0
+    kernel_bwd = ((has_sph or has_pla)
                   and static.n_volumes == 0
-                  and not static.has_noise and not static.has_image)
+                  and not static.has_noise and not static.has_image
+                  and not static.has_uvdebug)
 
     def bwd(res, g):
         scene, cam, lane_start, seed, codes = res
@@ -86,21 +89,23 @@ def _make_diff(static: SceneStatic, cfg: RenderConfig, n_chunk: int,
 
         if kernel_bwd:
             from raytracer_weekend_tpu.ops.pallas.replay_bwd import (
-                pack_ktab, replay_bwd_sphere)
+                pack_ktab, pack_ptab, replay_bwd_fused)
 
             def pack_f(float_leaves, cam):
                 sc = _unflatten(float_leaves)
                 ids = lane_start + jnp.arange(n_chunk, dtype=jnp.int32)
                 o, d, time, ray_id = _pixel_rays(cam, cfg, ids, seed)
-                return (pack_ktab(sc), sc.background, o, d, time), ray_id
+                ktab = pack_ktab(sc) if has_sph else None
+                ptab = pack_ptab(sc, static) if has_pla else None
+                return (ktab, ptab, sc.background, o, d, time), ray_id
 
-            (ktab, bg, o, d, time), ray_id = pack_f(float_leaves, cam)
-            dktab, d_o, d_d, d_tm, d_bg = replay_bwd_sphere(
-                ktab, bg, cfg, o, d, time, ray_id, seed, codes, g,
+            (ktab, ptab, bg, o, d, time), ray_id = pack_f(float_leaves, cam)
+            dktab, dptab, d_o, d_d, d_tm, d_bg = replay_bwd_fused(
+                ktab, ptab, bg, cfg, o, d, time, ray_id, seed, codes, g,
                 n_chunk, interpret=interpret)
             _, vjp = jax.vjp(lambda fl, cm: pack_f(fl, cm)[0],
                              float_leaves, cam)
-            g_float, g_cam = vjp((dktab, d_bg, d_o, d_d, d_tm))
+            g_float, g_cam = vjp((dktab, dptab, d_bg, d_o, d_d, d_tm))
         else:
             def replay_f(float_leaves, cam):
                 sc = _unflatten(float_leaves)

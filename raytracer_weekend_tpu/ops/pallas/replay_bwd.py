@@ -18,27 +18,32 @@ sharing the megakernel's (8, L) layout and helpers:
       gathered rows stored in VMEM scratch.
   reverse sweep  (fori over depth, reversed): hand-derived chain rules
       for the radiance estimator rad = sum_k tp_k * emit_k (+ miss * bg)
-      through the sphere quadratic, front-face flip, checker/solid
-      texture select, and the Lambertian/Metal/Dielectric scatter
-      branches (discrete choices fixed, continuous factors
+      through the sphere quadratic, the planar (rect/triangle) affine
+      intersection + normal interpolation, the front-face flip,
+      checker/solid texture select, and the Lambertian/Metal/Dielectric
+      scatter branches (discrete choices fixed, continuous factors
       differentiated — exactly replay.py's gradient semantics).
       Per-bounce table cotangents accumulate onto the MXU via the
       transposed one-hot (dot over the lane axis, HIGHEST precision);
-      the (KT, S) table gradient accumulates across grid steps in a
-      revisited output block.
+      the per-family (rows, prims) table gradients accumulate across
+      grid steps in revisited output blocks.
 
-Outputs: d(ktab) (KT, S), d(o0)/d(d0) (B, 3), d(time) (B,), d(bg) (B, 3)
-per-lane contributions. The host chains them through jax.vjp of the table
-packing and of the primary-ray generation (_pixel_rays), so gradients
-reach sphere centers/radii, material fuzz/IOR, texture colors, the
-background, and the camera — matching jax.vjp(replay_rays) semantics.
+Outputs: d(ktab) (KT, S) / d(ptab) (KP, R) for the families present,
+d(o0)/d(d0) (B, 3), d(time) (B,), d(bg) (B, 3) per-lane contributions.
+The host chains them through jax.vjp of the table packings and of the
+primary-ray generation (_pixel_rays), so gradients reach sphere centers/
+radii, rect extents, triangle vertices and shading normals, material
+fuzz/IOR, texture colors, the background, and the camera — matching
+jax.vjp(replay_rays) semantics.
 
-Scope (v1): sphere-only scenes, solid/checker textures, no volumes —
-the BASELINE config-1 workload (jumpy/two_spheres). Other scenes fall
-back to the XLA replay (fused_diff gates on SceneStatic).
+Scope (v2, round 5): any mix of spheres + rects + triangles with
+solid/checker textures — BASELINE configs 1 (jumpy) and 3 (cornell).
+Volumes, noise/image textures, and UVDebug fall back to the XLA replay
+(fused_diff gates on SceneStatic).
 
 Ref anchors: lib.rs:97-117 (the estimator), material.rs:42-142 (the
-scatter branches), spherical.rs:18-77 (the quadratic + UV).
+scatter branches), spherical.rs:18-77 (sphere quadratic + UV),
+rectangular.rs:27-167 + triangular.rs:97-138 (the planar family).
 """
 
 from __future__ import annotations
@@ -60,9 +65,10 @@ from raytracer_weekend_tpu.ops.pallas.megakernel import (
     _round_up,
     _unit_vec,
 )
-from raytracer_weekend_tpu.scene.data import SceneData
+from raytracer_weekend_tpu.scene.data import SceneData, SceneStatic
+from raytracer_weekend_tpu.vecmath import cross
 
-# Kernel-table row layout (KT, S). Mirrors replay._pack_spheres' columns.
+# Sphere kernel-table row layout (KT, S). Mirrors replay._pack_spheres.
 _K_AX, _K_AY, _K_AZ = 0, 1, 2          # alpha (center at time 0)
 _K_BX, _K_BY, _K_BZ = 3, 4, 5          # beta (center velocity)
 _K_R, _K_R2 = 6, 7                     # signed radius, radius^2
@@ -73,43 +79,138 @@ _K_C2R, _K_C2G, _K_C2B = 15, 16, 17
 _K_TSCALE = 18
 KT_ROWS = 24                           # padded to a sublane multiple
 
+# Planar (rect + triangle, rects first — the fused kernel's planar index
+# order) kernel-table row layout (KP, R). Mirrors replay._pack_planar's
+# geometry affines minus the texture-UV rows (unused by solid/checker).
+_P_NX, _P_NY, _P_NZ = 0, 1, 2          # plane normal n
+_P_K = 3                               # plane offset: t = (o.n - k)/(-d.n)
+_P_UAX, _P_UAY, _P_UAZ = 4, 5, 6       # u_b = ua.p + ca
+_P_CA = 7
+_P_UBX, _P_UBY, _P_UBZ = 8, 9, 10      # v_b = ub.p + cb
+_P_CB = 11
+_P_S0X, _P_S0Y, _P_S0Z = 12, 13, 14    # outward = ns0 + u_b*nsu + v_b*nsv
+_P_SUX, _P_SUY, _P_SUZ = 15, 16, 17
+_P_SVX, _P_SVY, _P_SVZ = 18, 19, 20
+_P_MTYPE, _P_FUZZ, _P_IOR = 21, 22, 23
+_P_TTYPE = 24
+_P_C1R, _P_C1G, _P_C1B = 25, 26, 27
+_P_C2R, _P_C2G, _P_C2B = 28, 29, 30
+_P_TSCALE = 31
+KP_ROWS = 32
+
+
+def _mat_tail_rows(scene: SceneData, mat: Array) -> list[Array]:
+    """The 11 material/texture parameter rows shared by both tables."""
+    mt, tx = scene.materials, scene.textures
+    tid = mt.tex[mat]
+    c1c = tx.color1[tid]
+    c2c = tx.color2[tid]
+    return [
+        mt.mtype[mat].astype(jnp.float32),
+        mt.fuzz[mat], mt.ior[mat],
+        tx.ttype[tid].astype(jnp.float32),
+        c1c[:, 0], c1c[:, 1], c1c[:, 2],
+        c2c[:, 0], c2c[:, 1], c2c[:, 2],
+        tx.scale[tid],
+    ]
+
 
 def pack_ktab(scene: SceneData) -> Array:
     """(KT, S) differentiable sphere table for the replay-bwd kernel.
 
     Same coefficient definitions as replay._pack_spheres (alpha/beta
     affine center, signed radius) with the material/texture tail resolved
-    to columns; jax.vjp of this function routes the kernel's d(ktab)
+    to rows; jax.vjp of this function routes the kernel's d(ktab)
     back to the scene pytree leaves."""
     sp = scene.spheres
-    mt, tx = scene.materials, scene.textures
     dt = sp.t1 - sp.t0
     beta = (sp.c1 - sp.c0) / jnp.where(dt == 0, 1.0, dt)[:, None]
     alpha = sp.c0 - sp.t0[:, None] * beta
-    tid = mt.tex[sp.mat]
-    c1c = tx.color1[tid]
-    c2c = tx.color2[tid]
     rows = [
         alpha[:, 0], alpha[:, 1], alpha[:, 2],
         beta[:, 0], beta[:, 1], beta[:, 2],
         sp.radius, sp.radius ** 2,
-        mt.mtype[sp.mat].astype(jnp.float32),
-        mt.fuzz[sp.mat], mt.ior[sp.mat],
-        tx.ttype[tid].astype(jnp.float32),
-        c1c[:, 0], c1c[:, 1], c1c[:, 2],
-        c2c[:, 0], c2c[:, 1], c2c[:, 2],
-        tx.scale[tid],
+        *_mat_tail_rows(scene, sp.mat),
     ]
     tab = jnp.stack(rows, axis=0).astype(jnp.float32)
     return jnp.pad(tab, ((0, KT_ROWS - tab.shape[0]), (0, 0)))
 
 
-def _kernel(par_ref, ipar_ref, rid_ref, o_ref, d_ref, tm_ref, cod_ref,
-            g_ref,
-            ktab_ref,
-            dtab_ref, do_ref, dd_ref, dtm_ref, dbg_ref,
-            st_ref, row_ref,
-            *, max_depth: int, t_min: float, tile_b: int, s_pad: int):
+def pack_ptab(scene: SceneData, static: SceneStatic) -> Array:
+    """(KP, R + T) unified rect+triangle table, rects first.
+
+    Same coefficient definitions as replay._pack_planar (which mirrors the
+    fused megakernel's planar planes): t = (o.n - k)/(-n.d),
+    u_b = ua.p + ca, v_b = ub.p + cb, outward = ns0 + u_b*nsu + v_b*nsv."""
+    parts = []
+    if static.n_rects:
+        rc = scene.rects
+        f_ax = jnp.asarray(rc.axis)
+        a_ax = jnp.where(f_ax == 0, 1, 0)
+        b_ax = jnp.where(f_ax == 2, 1, 2)
+        eye = jnp.eye(3, dtype=jnp.float32)
+        n = eye[f_ax]
+        da = rc.a1 - rc.a0
+        db = rc.b1 - rc.b0
+        inv_da = 1.0 / jnp.where(da == 0, 1.0, da)
+        inv_db = 1.0 / jnp.where(db == 0, 1.0, db)
+        ua = eye[a_ax] * inv_da[:, None]
+        ub = eye[b_ax] * inv_db[:, None]
+        Rn = rc.axis.shape[0]
+        z = jnp.zeros((Rn,), jnp.float32)
+        rows = [n[:, 0], n[:, 1], n[:, 2], rc.k,
+                ua[:, 0], ua[:, 1], ua[:, 2], -rc.a0 * inv_da,
+                ub[:, 0], ub[:, 1], ub[:, 2], -rc.b0 * inv_db,
+                n[:, 0], n[:, 1], n[:, 2],                 # ns0 = n
+                z, z, z, z, z, z,                          # nsu, nsv = 0
+                *_mat_tail_rows(scene, rc.mat)]
+        parts.append(jnp.stack(rows, axis=0))
+    if static.n_triangles:
+        tr = scene.triangles
+        ab = tr.v1 - tr.v0
+        ac = tr.v2 - tr.v0
+        n = cross(ab, ac)
+        nsq = jnp.sum(n * n, axis=1)
+        inv_nsq = (1.0 / jnp.where(nsq == 0, 1.0, nsq))[:, None]
+        ua = cross(ac, n) * inv_nsq
+        ub = cross(n, ab) * inv_nsq
+        nsu = tr.n1 - tr.n0
+        nsv = tr.n2 - tr.n0
+        rows = [n[:, 0], n[:, 1], n[:, 2], jnp.sum(n * tr.v0, axis=1),
+                ua[:, 0], ua[:, 1], ua[:, 2], -jnp.sum(ua * tr.v0, axis=1),
+                ub[:, 0], ub[:, 1], ub[:, 2], -jnp.sum(ub * tr.v0, axis=1),
+                tr.n0[:, 0], tr.n0[:, 1], tr.n0[:, 2],
+                nsu[:, 0], nsu[:, 1], nsu[:, 2],
+                nsv[:, 0], nsv[:, 1], nsv[:, 2],
+                *_mat_tail_rows(scene, tr.mat)]
+        parts.append(jnp.stack(rows, axis=0))
+    tab = jnp.concatenate(parts, axis=1).astype(jnp.float32)
+    return jnp.pad(tab, ((0, KP_ROWS - tab.shape[0]), (0, 0)))
+
+
+def _kernel(refs, *, max_depth: int, t_min: float, tile_b: int,
+            s_pad: int, r_pad: int, has_sph: bool, has_pla: bool):
+    it = iter(refs)
+    par_ref = next(it)
+    ipar_ref = next(it)
+    rid_ref = next(it)
+    o_ref = next(it)
+    d_ref = next(it)
+    tm_ref = next(it)
+    cod_ref = next(it)
+    g_ref = next(it)
+    ktab_ref = next(it) if has_sph else None
+    ptab_ref = next(it) if has_pla else None
+    dtab_ref = next(it) if has_sph else None
+    dptab_ref = next(it) if has_pla else None
+    do_ref = next(it)
+    dd_ref = next(it)
+    dtm_ref = next(it)
+    dbg_ref = next(it)
+    st_ref = next(it)
+    row_ref = next(it) if has_sph else None
+    prow_ref = next(it) if has_pla else None
+
     f = jnp.float32
     L = tile_b // 8
     D = max_depth
@@ -134,11 +235,91 @@ def _kernel(par_ref, ipar_ref, rid_ref, o_ref, d_ref, tm_ref, cod_ref,
     one_f = zero_f + 1.0
     bg_r, bg_g, bg_b = P(0), P(1), P(2)
 
-    dn_g = (((1,), (0,)), ((), ()))     # contract the S axis (gather)
+    dn_g = (((1,), (0,)), ((), ()))     # contract the prim axis (gather)
     dn_t = (((1,), (1,)), ((), ()))     # contract the lane axis (transpose)
 
     # Mosaic iota must be integer-typed; convert once (loop-invariant).
-    iota_s = jax.lax.broadcasted_iota(jnp.int32, (s_pad, L), 0).astype(f)
+    iota_s = (jax.lax.broadcasted_iota(jnp.int32, (s_pad, L), 0).astype(f)
+              if has_sph else None)
+    iota_p = (jax.lax.broadcasted_iota(jnp.int32, (r_pad, L), 0).astype(f)
+              if has_pla else None)
+
+    def _codes(k, alive_m):
+        """hit/family masks + per-family masked indices for bounce k."""
+        code = cod_ref[pl.ds(k * 8, 8), :]
+        hitf = jnp.where((code > 0.5) & (alive_m > 0.0), one_f, zero_f)
+        idx = jnp.floor(code * 0.25)            # (code - fam) / 4
+        fam = code - 4.0 * idx
+        sphf = jnp.where((hitf > 0.0) & (fam == 1.0), one_f, zero_f)
+        plaf = jnp.where((hitf > 0.0) & (fam == 2.0), one_f, zero_f)
+        if not has_pla:
+            plaf = zero_f
+        if not has_sph:
+            sphf = zero_f
+        idx_s = jnp.where(sphf > 0.0, idx, zero_f)
+        idx_p = jnp.where(plaf > 0.0, idx, zero_f)
+        return hitf, sphf, plaf, idx_s, idx_p
+
+    def _gather(tab_ref, iota, idx, n_rows, stash_ref, stash_base):
+        """One-hot [hi; lo]-split row gather for all 8 sublane rows; rows
+        stashed for the reverse sweep. Returns the 8 per-sublane (rows, L)
+        blocks."""
+        rows8 = []
+        for s in range(8):
+            oh = jnp.where(iota == idx[s:s + 1, :], f(1.0), f(0.0))
+            pr = jax.lax.dot_general(tab_ref[0:2 * n_rows, :], oh, dn_g,
+                                     preferred_element_type=f)
+            rows8.append(pr[0:n_rows] + pr[n_rows:2 * n_rows])
+            stash_ref[pl.ds(stash_base + s * n_rows, n_rows), :] = rows8[s]
+        return rows8
+
+    def _G(rows8):
+        def g(r):
+            return jnp.concatenate([rw[r:r + 1, :] for rw in rows8], axis=0)
+        return g
+
+    def _sphere_vals(G, ox, oy, oz, dx, dy, dz, a):
+        """Sphere quadratic forward values from gathered rows."""
+        cx = G(_K_AX) + time * G(_K_BX)
+        cy = G(_K_AY) + time * G(_K_BY)
+        cz = G(_K_AZ) + time * G(_K_BZ)
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        half_b = ocx * dx + ocy * dy + ocz * dz
+        c_t = ocx * ocx + ocy * ocy + ocz * ocz - G(_K_R2)
+        disc = half_b * half_b - a * c_t
+        sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
+        # Padded/dead lanes carry d = 0 (a = 0): a raw 1/a would produce
+        # inf, and masked-zero cotangents times inf are NaN — one NaN
+        # lane poisons every table column through the one-hot dot.
+        inv_a = 1.0 / jnp.maximum(a, f(1e-20))
+        root1 = (-half_b - sq) * inv_a
+        root2 = (-half_b + sq) * inv_a
+        near = jnp.where(root1 >= f(t_min), one_f, zero_f)
+        t_s = jnp.where(near > 0.0, root1, root2)
+        return dict(cx=cx, cy=cy, cz=cz, ocx=ocx, ocy=ocy, ocz=ocz,
+                    half_b=half_b, c_t=c_t, disc=disc, sq=sq, inv_a=inv_a,
+                    near=near, t=t_s)
+
+    def _planar_vals(G, ox, oy, oz, dx, dy, dz):
+        """Planar affine forward values from gathered rows."""
+        pnx, pny, pnz = G(_P_NX), G(_P_NY), G(_P_NZ)
+        df = -(dx * pnx + dy * pny + dz * pnz)
+        inv_df = 1.0 / jnp.where(df == 0.0, 1.0, df)
+        t_p = (ox * pnx + oy * pny + oz * pnz - G(_P_K)) * inv_df
+        return dict(pnx=pnx, pny=pny, pnz=pnz, inv_df=inv_df, t=t_p)
+
+    def _tex_cols(G, ttype_row, c1r, c1g, c1b, c2r, c2g, c2b, scale_row,
+                  px, py, pz):
+        """Solid/checker texture value from table rows at point p."""
+        scale = G(scale_row)
+        sines = (jnp.sin(scale * px) * jnp.sin(scale * py)
+                 * jnp.sin(scale * pz))
+        use2 = jnp.where((G(ttype_row) == 1.0) & (sines < 0.0), one_f,
+                         zero_f)
+        tex_r = use2 * G(c2r) + (1.0 - use2) * G(c1r)
+        tex_g = use2 * G(c2g) + (1.0 - use2) * G(c1g)
+        tex_b = use2 * G(c2b) + (1.0 - use2) * G(c1b)
+        return use2, tex_r, tex_g, tex_b
 
     # ---------------- forward sweep: recompute + stash -------------------
     def fwd_body(k, carry):
@@ -155,68 +336,77 @@ def _kernel(par_ref, ipar_ref, rid_ref, o_ref, d_ref, tm_ref, cod_ref,
         st_ref[pl.ds(k * 80 + 64, 8), :] = tpb
         st_ref[pl.ds(k * 80 + 72, 8), :] = alive_m
 
-        code = cod_ref[pl.ds(k * 8, 8), :]
-        hitf = jnp.where((code > 0.5) & (alive_m > 0.0), one_f, zero_f)
-        idx = (code - 1.0) * 0.25       # (code - fam)/4 for fam==1
-        idx = jnp.where(hitf > 0.0, idx, zero_f)
-
-        # one-hot gather per sublane row: [hi; lo] blocks reconstruct the
-        # row to ~2^-17 at DEFAULT (bf16-pass) cost.
-        rows8 = []
-        for s in range(8):
-            oh = jnp.where(iota_s == idx[s:s + 1, :], f(1.0), f(0.0))
-            pr = jax.lax.dot_general(ktab_ref[0:2 * KT_ROWS, :], oh, dn_g,
-                                     preferred_element_type=f)
-            rows8.append(pr[0:KT_ROWS] + pr[KT_ROWS:2 * KT_ROWS])
-            row_ref[pl.ds(k * 8 * KT_ROWS + s * KT_ROWS, KT_ROWS), :] = \
-                rows8[s]
-
-        def G(r):
-            return jnp.concatenate([rw[r:r + 1, :] for rw in rows8], axis=0)
-
-        # bounce math (replay.py semantics; values only — chain in reverse)
-        ax_, ay_, az_ = G(_K_AX), G(_K_AY), G(_K_AZ)
-        bx_, by_, bz_ = G(_K_BX), G(_K_BY), G(_K_BZ)
-        rr, r2 = G(_K_R), G(_K_R2)
-        cx = ax_ + time * bx_
-        cy = ay_ + time * by_
-        cz = az_ + time * bz_
-        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        hitf, sphf, plaf, idx_s, idx_p = _codes(k, alive_m)
         a = dx * dx + dy * dy + dz * dz
-        half_b = ocx * dx + ocy * dy + ocz * dz
-        c_t = ocx * ocx + ocy * ocy + ocz * ocz - r2
-        disc = half_b * half_b - a * c_t
-        sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
-        # Padded/dead lanes carry d = 0 (a = 0): a raw 1/a would produce
-        # inf, and masked-zero cotangents times inf are NaN — one NaN
-        # lane poisons every table column through the one-hot dot.
-        inv_a = 1.0 / jnp.maximum(a, f(1e-20))
-        root1 = (-half_b - sq) * inv_a
-        root2 = (-half_b + sq) * inv_a
-        t = jnp.where(root1 >= f(t_min), root1, root2)
-        t = jnp.where(hitf > 0.0, t, zero_f)
+
+        t = zero_f
+        if has_sph:
+            rows_s = _gather(ktab_ref, iota_s, idx_s, KT_ROWS, row_ref,
+                             k * 8 * KT_ROWS)
+            Gs = _G(rows_s)
+            sv = _sphere_vals(Gs, ox, oy, oz, dx, dy, dz, a)
+            t = t + sphf * sv["t"]
+        if has_pla:
+            rows_p = _gather(ptab_ref, iota_p, idx_p, KP_ROWS, prow_ref,
+                             k * 8 * KP_ROWS)
+            Gp = _G(rows_p)
+            pv = _planar_vals(Gp, ox, oy, oz, dx, dy, dz)
+            t = t + plaf * pv["t"]
+
         px = ox + t * dx
         py = oy + t * dy
         pz = oz + t * dz
-        inv_r = 1.0 / jnp.where(rr == 0.0, 1.0, rr)
-        nx_o = (px - cx) * inv_r
-        ny_o = (py - cy) * inv_r
-        nz_o = (pz - cz) * inv_r
+
+        nx_o = zero_f
+        ny_o = zero_f
+        nz_o = zero_f
+        mtype = zero_f
+        fuzz = zero_f
+        ior = zero_f
+        tex_r = zero_f
+        tex_g = zero_f
+        tex_b = zero_f
+        if has_sph:
+            inv_r = 1.0 / jnp.where(Gs(_K_R) == 0.0, 1.0, Gs(_K_R))
+            nx_o = nx_o + sphf * (px - sv["cx"]) * inv_r
+            ny_o = ny_o + sphf * (py - sv["cy"]) * inv_r
+            nz_o = nz_o + sphf * (pz - sv["cz"]) * inv_r
+            mtype = mtype + sphf * Gs(_K_MTYPE)
+            fuzz = fuzz + sphf * Gs(_K_FUZZ)
+            ior = ior + sphf * Gs(_K_IOR)
+            _, txr, txg, txb = _tex_cols(Gs, _K_TTYPE, _K_C1R, _K_C1G,
+                                         _K_C1B, _K_C2R, _K_C2G, _K_C2B,
+                                         _K_TSCALE, px, py, pz)
+            tex_r = tex_r + sphf * txr
+            tex_g = tex_g + sphf * txg
+            tex_b = tex_b + sphf * txb
+        if has_pla:
+            u_b = (Gp(_P_UAX) * px + Gp(_P_UAY) * py + Gp(_P_UAZ) * pz
+                   + Gp(_P_CA))
+            v_b = (Gp(_P_UBX) * px + Gp(_P_UBY) * py + Gp(_P_UBZ) * pz
+                   + Gp(_P_CB))
+            nx_o = nx_o + plaf * (Gp(_P_S0X) + u_b * Gp(_P_SUX)
+                                  + v_b * Gp(_P_SVX))
+            ny_o = ny_o + plaf * (Gp(_P_S0Y) + u_b * Gp(_P_SUY)
+                                  + v_b * Gp(_P_SVY))
+            nz_o = nz_o + plaf * (Gp(_P_S0Z) + u_b * Gp(_P_SUZ)
+                                  + v_b * Gp(_P_SVZ))
+            mtype = mtype + plaf * Gp(_P_MTYPE)
+            fuzz = fuzz + plaf * Gp(_P_FUZZ)
+            ior = ior + plaf * Gp(_P_IOR)
+            _, txr, txg, txb = _tex_cols(Gp, _P_TTYPE, _P_C1R, _P_C1G,
+                                         _P_C1B, _P_C2R, _P_C2G, _P_C2B,
+                                         _P_TSCALE, px, py, pz)
+            tex_r = tex_r + plaf * txr
+            tex_g = tex_g + plaf * txg
+            tex_b = tex_b + plaf * txb
+        # Dead/miss lanes: ior = 0 would make 1/ior inf — clamp handles it.
+
         frontf = jnp.where(dx * nx_o + dy * ny_o + dz * nz_o < 0.0,
                            one_f, zero_f)
         sgn = 2.0 * frontf - 1.0
         nx, ny, nz = nx_o * sgn, ny_o * sgn, nz_o * sgn
 
-        scale = G(_K_TSCALE)
-        sines = (jnp.sin(scale * px) * jnp.sin(scale * py)
-                 * jnp.sin(scale * pz))
-        use2 = jnp.where((G(_K_TTYPE) == 1.0) & (sines < 0.0), one_f,
-                         zero_f)
-        tex_r = use2 * G(_K_C2R) + (1.0 - use2) * G(_K_C1R)
-        tex_g = use2 * G(_K_C2G) + (1.0 - use2) * G(_K_C1G)
-        tex_b = use2 * G(_K_C2B) + (1.0 - use2) * G(_K_C1B)
-
-        mtype = G(_K_MTYPE)
         depth_u = jax.lax.bitcast_convert_type(lane0 + k, jnp.uint32)
 
         inv_len = 1.0 / jnp.sqrt(a + f(1e-20))
@@ -235,7 +425,6 @@ def _kernel(par_ref, ipar_ref, rid_ref, o_ref, d_ref, tm_ref, cod_ref,
         m1_, m2_, m3_, _ = _rand4(rid, depth_u, rt_rng.SALT_METAL, seed)
         bx3, by3, bz3 = _unit_vec(m1_, m2_)
         brad = jnp.exp(jnp.log(jnp.maximum(m3_, f(1e-30))) * f(1.0 / 3.0))
-        fuzz = G(_K_FUZZ)
         u_dot_n = ux * nx + uy * ny + uz * nz
         metx = ux - 2.0 * u_dot_n * nx + fuzz * bx3 * brad
         mety = uy - 2.0 * u_dot_n * ny + fuzz * by3 * brad
@@ -243,7 +432,6 @@ def _kernel(par_ref, ipar_ref, rid_ref, o_ref, d_ref, tm_ref, cod_ref,
         met_alive = (metx * nx + mety * ny + metz * nz) > 0.0
 
         e1, _, _, _ = _rand4(rid, depth_u, rt_rng.SALT_DIELECTRIC, seed)
-        ior = G(_K_IOR)
         ratio = jnp.where(frontf > 0.0, 1.0 / jnp.maximum(ior, f(1e-6)),
                           ior)
         cos_t = jnp.minimum(-u_dot_n, 1.0)
@@ -301,7 +489,10 @@ def _kernel(par_ref, ipar_ref, rid_ref, o_ref, d_ref, tm_ref, cod_ref,
 
     @pl.when(pl.program_id(0) == 0)
     def _init_dtab():
-        dtab_ref[:, :] = jnp.zeros(dtab_ref.shape, f)
+        if has_sph:
+            dtab_ref[:, :] = jnp.zeros(dtab_ref.shape, f)
+        if has_pla:
+            dptab_ref[:, :] = jnp.zeros(dptab_ref.shape, f)
 
     dbg_ref[:, :] = jnp.zeros(dbg_ref.shape, f)
 
@@ -319,62 +510,82 @@ def _kernel(par_ref, ipar_ref, rid_ref, o_ref, d_ref, tm_ref, cod_ref,
         tpb = st_ref[pl.ds(k * 80 + 64, 8), :]
         alive_m = st_ref[pl.ds(k * 80 + 72, 8), :]
 
-        code = cod_ref[pl.ds(k * 8, 8), :]
-        hitf = jnp.where((code > 0.5) & (alive_m > 0.0), one_f, zero_f)
-        missf = jnp.where((alive_m > 0.0) & (code <= 0.5), one_f, zero_f)
-        idx = jnp.where(hitf > 0.0, (code - 1.0) * 0.25, zero_f)
-
-        rows8 = [row_ref[pl.ds(k * 8 * KT_ROWS + s * KT_ROWS, KT_ROWS), :]
-                 for s in range(8)]
-
-        def G(r):
-            return jnp.concatenate([rw[r:r + 1, :] for rw in rows8],
-                                   axis=0)
-
-        # recompute the bounce's forward intermediates
-        ax_, ay_, az_ = G(_K_AX), G(_K_AY), G(_K_AZ)
-        bx_, by_, bz_ = G(_K_BX), G(_K_BY), G(_K_BZ)
-        rr, r2 = G(_K_R), G(_K_R2)
-        cx = ax_ + time * bx_
-        cy = ay_ + time * by_
-        cz = az_ + time * bz_
-        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        hitf, sphf, plaf, idx_s, idx_p = _codes(k, alive_m)
+        missf = jnp.where((alive_m > 0.0) & (hitf <= 0.0), one_f, zero_f)
         a = dx * dx + dy * dy + dz * dz
-        half_b = ocx * dx + ocy * dy + ocz * dz
-        c_t = ocx * ocx + ocy * ocy + ocz * ocz - r2
-        disc = half_b * half_b - a * c_t
-        sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
-        # Padded/dead lanes carry d = 0 (a = 0): a raw 1/a would produce
-        # inf, and masked-zero cotangents times inf are NaN — one NaN
-        # lane poisons every table column through the one-hot dot.
-        inv_a = 1.0 / jnp.maximum(a, f(1e-20))
-        root1 = (-half_b - sq) * inv_a
-        root2 = (-half_b + sq) * inv_a
-        near = jnp.where(root1 >= f(t_min), one_f, zero_f)
-        t = jnp.where(near > 0.0, root1, root2)
-        t = jnp.where(hitf > 0.0, t, zero_f)
+
+        # recompute the bounce's forward intermediates from stashed rows
+        t = zero_f
+        if has_sph:
+            rows_s = [row_ref[pl.ds(k * 8 * KT_ROWS + s * KT_ROWS,
+                                    KT_ROWS), :] for s in range(8)]
+            Gs = _G(rows_s)
+            sv = _sphere_vals(Gs, ox, oy, oz, dx, dy, dz, a)
+            t = t + sphf * sv["t"]
+        if has_pla:
+            rows_p = [prow_ref[pl.ds(k * 8 * KP_ROWS + s * KP_ROWS,
+                                     KP_ROWS), :] for s in range(8)]
+            Gp = _G(rows_p)
+            pv = _planar_vals(Gp, ox, oy, oz, dx, dy, dz)
+            t = t + plaf * pv["t"]
+
         px = ox + t * dx
         py = oy + t * dy
         pz = oz + t * dz
-        inv_r = 1.0 / jnp.where(rr == 0.0, 1.0, rr)
-        nx_o = (px - cx) * inv_r
-        ny_o = (py - cy) * inv_r
-        nz_o = (pz - cz) * inv_r
+
+        nx_o = zero_f
+        ny_o = zero_f
+        nz_o = zero_f
+        mtype = zero_f
+        fuzz = zero_f
+        ior = zero_f
+        tex_r = zero_f
+        tex_g = zero_f
+        tex_b = zero_f
+        if has_sph:
+            rr = Gs(_K_R)
+            inv_r = 1.0 / jnp.where(rr == 0.0, 1.0, rr)
+            snx = (px - sv["cx"]) * inv_r
+            sny = (py - sv["cy"]) * inv_r
+            snz = (pz - sv["cz"]) * inv_r
+            nx_o = nx_o + sphf * snx
+            ny_o = ny_o + sphf * sny
+            nz_o = nz_o + sphf * snz
+            mtype = mtype + sphf * Gs(_K_MTYPE)
+            fuzz = fuzz + sphf * Gs(_K_FUZZ)
+            ior = ior + sphf * Gs(_K_IOR)
+            use2_s, txr, txg, txb = _tex_cols(
+                Gs, _K_TTYPE, _K_C1R, _K_C1G, _K_C1B, _K_C2R, _K_C2G,
+                _K_C2B, _K_TSCALE, px, py, pz)
+            tex_r = tex_r + sphf * txr
+            tex_g = tex_g + sphf * txg
+            tex_b = tex_b + sphf * txb
+        if has_pla:
+            u_b = (Gp(_P_UAX) * px + Gp(_P_UAY) * py + Gp(_P_UAZ) * pz
+                   + Gp(_P_CA))
+            v_b = (Gp(_P_UBX) * px + Gp(_P_UBY) * py + Gp(_P_UBZ) * pz
+                   + Gp(_P_CB))
+            nx_o = nx_o + plaf * (Gp(_P_S0X) + u_b * Gp(_P_SUX)
+                                  + v_b * Gp(_P_SVX))
+            ny_o = ny_o + plaf * (Gp(_P_S0Y) + u_b * Gp(_P_SUY)
+                                  + v_b * Gp(_P_SVY))
+            nz_o = nz_o + plaf * (Gp(_P_S0Z) + u_b * Gp(_P_SUZ)
+                                  + v_b * Gp(_P_SVZ))
+            mtype = mtype + plaf * Gp(_P_MTYPE)
+            fuzz = fuzz + plaf * Gp(_P_FUZZ)
+            ior = ior + plaf * Gp(_P_IOR)
+            use2_p, txr, txg, txb = _tex_cols(
+                Gp, _P_TTYPE, _P_C1R, _P_C1G, _P_C1B, _P_C2R, _P_C2G,
+                _P_C2B, _P_TSCALE, px, py, pz)
+            tex_r = tex_r + plaf * txr
+            tex_g = tex_g + plaf * txg
+            tex_b = tex_b + plaf * txb
+
         frontf = jnp.where(dx * nx_o + dy * ny_o + dz * nz_o < 0.0,
                            one_f, zero_f)
         sgn = 2.0 * frontf - 1.0
         nx, ny, nz = nx_o * sgn, ny_o * sgn, nz_o * sgn
 
-        scale = G(_K_TSCALE)
-        sines = (jnp.sin(scale * px) * jnp.sin(scale * py)
-                 * jnp.sin(scale * pz))
-        use2 = jnp.where((G(_K_TTYPE) == 1.0) & (sines < 0.0), one_f,
-                         zero_f)
-        tex_r = use2 * G(_K_C2R) + (1.0 - use2) * G(_K_C1R)
-        tex_g = use2 * G(_K_C2G) + (1.0 - use2) * G(_K_C1G)
-        tex_b = use2 * G(_K_C2B) + (1.0 - use2) * G(_K_C1B)
-
-        mtype = G(_K_MTYPE)
         is_met = mtype == 1.0
         is_die = mtype == 2.0
         is_lightf = jnp.where(mtype == 3.0, one_f, zero_f)
@@ -386,24 +597,15 @@ def _kernel(par_ref, ipar_ref, rid_ref, o_ref, d_ref, tm_ref, cod_ref,
         ux, uy, uz = dx * inv_len, dy * inv_len, dz * inv_len
         u_dot_n = ux * nx + uy * ny + uz * nz
 
-        a1, a2, _, _ = _rand4(rid, depth_u, rt_rng.SALT_LAMBERTIAN, seed)
-        svx, svy, svz = _unit_vec(a1, a2)
-        lamx, lamy, lamz = nx + svx, ny + svy, nz + svz
-        nz8 = f(1e-8)
-        degen = ((jnp.abs(lamx) < nz8) & (jnp.abs(lamy) < nz8)
-                 & (jnp.abs(lamz) < nz8))
-
         m1_, m2_, m3_, _ = _rand4(rid, depth_u, rt_rng.SALT_METAL, seed)
         bx3, by3, bz3 = _unit_vec(m1_, m2_)
         brad = jnp.exp(jnp.log(jnp.maximum(m3_, f(1e-30))) * f(1.0 / 3.0))
-        fuzz = G(_K_FUZZ)
         metx = ux - 2.0 * u_dot_n * nx + fuzz * bx3 * brad
         mety = uy - 2.0 * u_dot_n * ny + fuzz * by3 * brad
         metz = uz - 2.0 * u_dot_n * nz + fuzz * bz3 * brad
         met_alive = (metx * nx + mety * ny + metz * nz) > 0.0
 
         e1, _, _, _ = _rand4(rid, depth_u, rt_rng.SALT_DIELECTRIC, seed)
-        ior = G(_K_IOR)
         ior_s = jnp.maximum(ior, f(1e-6))
         ratio = jnp.where(frontf > 0.0, 1.0 / ior_s, ior)
         cos_t = jnp.minimum(-u_dot_n, 1.0)
@@ -487,14 +689,6 @@ def _kernel(par_ref, ipar_ref, rid_ref, o_ref, d_ref, tm_ref, cod_ref,
         ctex_g = ctex_g + att_tex * catt_g
         ctex_b = ctex_b + att_tex * catt_b
 
-        # tex select -> c1/c2 rows
-        dc1_r = (1.0 - use2) * ctex_r
-        dc1_g = (1.0 - use2) * ctex_g
-        dc1_b = (1.0 - use2) * ctex_b
-        dc2_r = use2 * ctex_r
-        dc2_g = use2 * ctex_g
-        dc2_b = use2 * ctex_b
-
         # nd select -> branch cotangents
         metf = jnp.where(is_met, one_f, zero_f)
         dief = jnp.where(is_die, one_f, zero_f)
@@ -518,7 +712,6 @@ def _kernel(par_ref, ipar_ref, rid_ref, o_ref, d_ref, tm_ref, cod_ref,
         cior = zero_f
 
         # lambertian: lam = degen ? n : n + sv  -> cn += clam either way
-        del degen  # lam = n + sv or n; both route to n
         cnx = cnx + clamx
         cny = cny + clamy
         cnz = cnz + clamz
@@ -588,80 +781,168 @@ def _kernel(par_ref, ipar_ref, rid_ref, o_ref, d_ref, tm_ref, cod_ref,
         cdy = cdy + inv_len * (cuy - uy * udotcu)
         cdz = cdz + inv_len * (cuz - uz * udotcu)
 
-        # n = sgn * outward ; outward = (p - c)/r
-        co_x = sgn * cnx
-        co_y = sgn * cny
-        co_z = sgn * cnz
-        cpx = cpx + co_x * inv_r
-        cpy = cpy + co_y * inv_r
-        cpz = cpz + co_z * inv_r
-        ccx = -co_x * inv_r
-        ccy = -co_y * inv_r
-        ccz = -co_z * inv_r
-        c_r = -(nx_o * co_x + ny_o * co_y + nz_o * co_z) * inv_r
+        # n = sgn * outward; route outward + hit-point cotangents per
+        # family (each family's chain is masked by its own winner flag so
+        # a planar lane contributes nothing through the sphere chain and
+        # vice versa).
+        if has_sph:
+            co_x = sgn * cnx * sphf
+            co_y = sgn * cny * sphf
+            co_z = sgn * cnz * sphf
+            # outward = (p - c)/r
+            cpx_s = sphf * cpx + co_x * inv_r
+            cpy_s = sphf * cpy + co_y * inv_r
+            cpz_s = sphf * cpz + co_z * inv_r
+            ccx = -co_x * inv_r
+            ccy = -co_y * inv_r
+            ccz = -co_z * inv_r
+            c_r = -(snx * co_x + sny * co_y + snz * co_z) * inv_r
 
-        # p = o + t*d
-        ct = dx * cpx + dy * cpy + dz * cpz
-        cox = cox + cpx
-        coy = coy + cpy
-        coz = coz + cpz
-        cdx = cdx + t * cpx
-        cdy = cdy + t * cpy
-        cdz = cdz + t * cpz
+            # p = o + t*d
+            ct = (dx * cpx_s + dy * cpy_s + dz * cpz_s) * sphf
+            cox = cox + cpx_s
+            coy = coy + cpy_s
+            coz = coz + cpz_s
+            cdx = cdx + t * cpx_s
+            cdy = cdy + t * cpy_s
+            cdz = cdz + t * cpz_s
 
-        # t = (-half_b -+ sq)/a (selected root); dead lanes: t = 0 const
-        ct = ct * hitf
-        s_r = 2.0 * (1.0 - near) - 1.0      # -1 near root, +1 far root
-        csq = ct * s_r * inv_a
-        chb = -ct * inv_a
-        ca = -ct * t * inv_a
-        okd = jnp.where(disc > 0.0, one_f, zero_f)
-        cdisc = okd * csq / (2.0 * sq)
-        chb = chb + 2.0 * half_b * cdisc
-        ca = ca - c_t * cdisc
-        cct = -a * cdisc
-        # half_b = oc.d ; c = oc.oc - r2 ; a = d.d
-        cocx = chb * dx + 2.0 * cct * ocx
-        cocy = chb * dy + 2.0 * cct * ocy
-        cocz = chb * dz + 2.0 * cct * ocz
-        cdx = cdx + chb * ocx + 2.0 * ca * dx
-        cdy = cdy + chb * ocy + 2.0 * ca * dy
-        cdz = cdz + chb * ocz + 2.0 * ca * dz
-        cr2 = -cct
-        # a also feeds inv_len (u = d/sqrt(a+eps)) — handled via u chain.
-        # oc = o - c
-        cox = cox + cocx
-        coy = coy + cocy
-        coz = coz + cocz
-        ccx = ccx - cocx
-        ccy = ccy - cocy
-        ccz = ccz - cocz
-        # c = alpha + time*beta
-        ctime = ctime + bx_ * ccx + by_ * ccy + bz_ * ccz
+            # t = (-half_b -+ sq)/a (selected root)
+            s_r = 2.0 * (1.0 - sv["near"]) - 1.0  # -1 near, +1 far root
+            inv_a = sv["inv_a"]
+            t_s = sv["t"]
+            csq = ct * s_r * inv_a
+            chb = -ct * inv_a
+            ca = -ct * t_s * inv_a
+            okd = jnp.where(sv["disc"] > 0.0, one_f, zero_f)
+            cdisc = okd * csq / (2.0 * sv["sq"])
+            chb = chb + 2.0 * sv["half_b"] * cdisc
+            ca = ca - sv["c_t"] * cdisc
+            cct = -a * cdisc
+            # half_b = oc.d ; c = oc.oc - r2 ; a = d.d
+            ocx, ocy, ocz = sv["ocx"], sv["ocy"], sv["ocz"]
+            cocx = chb * dx + 2.0 * cct * ocx
+            cocy = chb * dy + 2.0 * cct * ocy
+            cocz = chb * dz + 2.0 * cct * ocz
+            cdx = cdx + chb * ocx + 2.0 * ca * dx
+            cdy = cdy + chb * ocy + 2.0 * ca * dy
+            cdz = cdz + chb * ocz + 2.0 * ca * dz
+            cr2 = -cct
+            # oc = o - c
+            cox = cox + cocx
+            coy = coy + cocy
+            coz = coz + cocz
+            ccx = ccx - cocx
+            ccy = ccy - cocy
+            ccz = ccz - cocz
+            # c = alpha + time*beta
+            ctime = (ctime + Gs(_K_BX) * ccx + Gs(_K_BY) * ccy
+                     + Gs(_K_BZ) * ccz)
 
-        # r chain: inv_r used in outward; r2 separate row
-        # (c_r already w.r.t. rr through inv_r sign handling above)
+            # tex select -> c1/c2 rows (sphere's own checker select)
+            dc1s_r = sphf * (1.0 - use2_s) * ctex_r
+            dc1s_g = sphf * (1.0 - use2_s) * ctex_g
+            dc1s_b = sphf * (1.0 - use2_s) * ctex_b
+            dc2s_r = sphf * use2_s * ctex_r
+            dc2s_g = sphf * use2_s * ctex_g
+            dc2s_b = sphf * use2_s * ctex_b
 
-        # ---- assemble per-lane row cotangents and accumulate ------------
-        hit_m = hitf
-        crows = [ccx * hit_m, ccy * hit_m, ccz * hit_m,           # alpha
-                 time * ccx * hit_m, time * ccy * hit_m,
-                 time * ccz * hit_m,                               # beta
-                 c_r * hit_m, cr2 * hit_m,                         # r, r2
-                 zero_f,                                           # mtype
-                 cfuzz * hit_m, cior * hit_m,                      # fuzz,ior
-                 zero_f,                                           # ttype
-                 dc1_r, dc1_g, dc1_b,
-                 dc2_r, dc2_g, dc2_b,
-                 zero_f,                                           # scale
-                 zero_f, zero_f, zero_f, zero_f, zero_f]           # pad
-        for s in range(8):
-            cot = jnp.concatenate(
-                [cr[s:s + 1, :] for cr in crows], axis=0)          # (KT, L)
-            oh = jnp.where(iota_s == idx[s:s + 1, :], f(1.0), f(0.0))
-            dtab_ref[:, :] = dtab_ref[:, :] + jax.lax.dot_general(
-                cot, oh, dn_t, precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=f)                          # (KT, S)
+            crows_s = [ccx, ccy, ccz,                              # alpha
+                       time * ccx, time * ccy, time * ccz,         # beta
+                       c_r, cr2,                                   # r, r2
+                       zero_f,                                     # mtype
+                       cfuzz * sphf, cior * sphf,                  # fuzz,ior
+                       zero_f,                                     # ttype
+                       dc1s_r, dc1s_g, dc1s_b,
+                       dc2s_r, dc2s_g, dc2s_b,
+                       zero_f,                                     # scale
+                       zero_f, zero_f, zero_f, zero_f, zero_f]     # pad
+            for s in range(8):
+                cot = jnp.concatenate(
+                    [cr_[s:s + 1, :] for cr_ in crows_s], axis=0)  # (KT, L)
+                oh = jnp.where(iota_s == idx_s[s:s + 1, :], f(1.0), f(0.0))
+                dtab_ref[:, :] = dtab_ref[:, :] + jax.lax.dot_general(
+                    cot, oh, dn_t, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=f)                      # (KT, S)
+
+        if has_pla:
+            cno_x = sgn * cnx * plaf
+            cno_y = sgn * cny * plaf
+            cno_z = sgn * cnz * plaf
+            # outward = ns0 + u_b*nsu + v_b*nsv
+            c_nsu_x = u_b * cno_x
+            c_nsu_y = u_b * cno_y
+            c_nsu_z = u_b * cno_z
+            c_nsv_x = v_b * cno_x
+            c_nsv_y = v_b * cno_y
+            c_nsv_z = v_b * cno_z
+            cu_b = (Gp(_P_SUX) * cno_x + Gp(_P_SUY) * cno_y
+                    + Gp(_P_SUZ) * cno_z)
+            cv_b = (Gp(_P_SVX) * cno_x + Gp(_P_SVY) * cno_y
+                    + Gp(_P_SVZ) * cno_z)
+            # u_b = ua.p + ca ; v_b = ub.p + cb
+            c_ua_x = cu_b * px
+            c_ua_y = cu_b * py
+            c_ua_z = cu_b * pz
+            c_ub_x = cv_b * px
+            c_ub_y = cv_b * py
+            c_ub_z = cv_b * pz
+            cpx_p = plaf * cpx + cu_b * Gp(_P_UAX) + cv_b * Gp(_P_UBX)
+            cpy_p = plaf * cpy + cu_b * Gp(_P_UAY) + cv_b * Gp(_P_UBY)
+            cpz_p = plaf * cpz + cu_b * Gp(_P_UAZ) + cv_b * Gp(_P_UBZ)
+
+            # p = o + t*d
+            ct_p = (dx * cpx_p + dy * cpy_p + dz * cpz_p) * plaf
+            cox = cox + cpx_p
+            coy = coy + cpy_p
+            coz = coz + cpz_p
+            cdx = cdx + t * cpx_p
+            cdy = cdy + t * cpy_p
+            cdz = cdz + t * cpz_p
+
+            # t = (o.n - k)/df with df = -d.n:
+            #   dt/do = n/df ; dt/dk = -1/df ; dt/dn = p/df ; dt/dd = t*n/df
+            inv_df = pv["inv_df"]
+            t_pl = pv["t"]
+            pnx, pny, pnz = pv["pnx"], pv["pny"], pv["pnz"]
+            cti = ct_p * inv_df
+            cox = cox + cti * pnx
+            coy = coy + cti * pny
+            coz = coz + cti * pnz
+            cdx = cdx + cti * t_pl * pnx
+            cdy = cdy + cti * t_pl * pny
+            cdz = cdz + cti * t_pl * pnz
+            c_pn_x = cti * px
+            c_pn_y = cti * py
+            c_pn_z = cti * pz
+            c_k = -cti
+
+            dc1p_r = plaf * (1.0 - use2_p) * ctex_r
+            dc1p_g = plaf * (1.0 - use2_p) * ctex_g
+            dc1p_b = plaf * (1.0 - use2_p) * ctex_b
+            dc2p_r = plaf * use2_p * ctex_r
+            dc2p_g = plaf * use2_p * ctex_g
+            dc2p_b = plaf * use2_p * ctex_b
+
+            crows_p = [c_pn_x, c_pn_y, c_pn_z, c_k,
+                       c_ua_x, c_ua_y, c_ua_z, cu_b,                # ua, ca
+                       c_ub_x, c_ub_y, c_ub_z, cv_b,                # ub, cb
+                       cno_x, cno_y, cno_z,                         # ns0
+                       c_nsu_x, c_nsu_y, c_nsu_z,
+                       c_nsv_x, c_nsv_y, c_nsv_z,
+                       zero_f,                                      # mtype
+                       cfuzz * plaf, cior * plaf,                   # fuzz,ior
+                       zero_f,                                      # ttype
+                       dc1p_r, dc1p_g, dc1p_b,
+                       dc2p_r, dc2p_g, dc2p_b,
+                       zero_f]                                      # scale
+            for s in range(8):
+                cot = jnp.concatenate(
+                    [cr_[s:s + 1, :] for cr_ in crows_p], axis=0)  # (KP, L)
+                oh = jnp.where(iota_p == idx_p[s:s + 1, :], f(1.0), f(0.0))
+                dptab_ref[:, :] = dptab_ref[:, :] + jax.lax.dot_general(
+                    cot, oh, dn_t, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=f)                      # (KP, R)
 
         return (cox, coy, coz, cdx, cdy, cdz, ctr, ctg, ctb, ctime)
 
@@ -678,19 +959,37 @@ def _kernel(par_ref, ipar_ref, rid_ref, o_ref, d_ref, tm_ref, cod_ref,
     dtm_ref[0:8, :] = ctime
 
 
+def _kernel_entry(*refs, **params):
+    _kernel(refs, **params)
+
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_chunk", "interpret"))
-def replay_bwd_sphere(ktab: Array, background: Array, cfg: RenderConfig,
-                      o: Array, d: Array, time: Array, ray_id: Array,
-                      seed, codes: Array, g: Array, n_chunk: int,
-                      interpret: bool = False):
-    """Run the fused replay backward. Returns (dktab (KT, S), d_o (B, 3),
-    d_d (B, 3), d_time (B,), d_bg (3,))."""
-    S = ktab.shape[1]
-    s_pad = _round_up(max(S, 128), 128)
-    ktab = jnp.pad(ktab, ((0, 0), (0, s_pad - S)))
-    hi = _bf16_trunc(ktab)
-    ktab_split = jnp.concatenate([hi, ktab - hi], axis=0)  # (2KT, s_pad)
+def replay_bwd_fused(ktab, ptab, background: Array, cfg: RenderConfig,
+                     o: Array, d: Array, time: Array, ray_id: Array,
+                     seed, codes: Array, g: Array, n_chunk: int,
+                     interpret: bool = False):
+    """Run the fused replay backward.
+
+    ktab (KT, S) / ptab (KP, R) may each be None when the family is absent.
+    Returns (dktab | None, dptab | None, d_o (B, 3), d_d (B, 3),
+    d_time (B,), d_bg (3,))."""
+    has_sph = ktab is not None
+    has_pla = ptab is not None
+
+    def _split(tab):
+        n = tab.shape[1]
+        pad = _round_up(max(n, 128), 128)
+        tab = jnp.pad(tab, ((0, 0), (0, pad - n)))
+        hi = _bf16_trunc(tab)
+        return jnp.concatenate([hi, tab - hi], axis=0), pad, n
+
+    s_pad = r_pad = 128
+    S = R = 0
+    ktab_split = ptab_split = None
+    if has_sph:
+        ktab_split, s_pad, S = _split(ktab)
+    if has_pla:
+        ptab_split, r_pad, R = _split(ptab)
 
     tile_b = 2048
     b_pad = _round_up(max(n_chunk, tile_b), tile_b)
@@ -721,19 +1020,54 @@ def replay_bwd_sphere(ktab: Array, background: Array, cfg: RenderConfig,
     ]).reshape(1, 8)
     ipar = jnp.asarray(seed, jnp.uint32).astype(jnp.int32).reshape(1, 1)
 
-    kernel = functools.partial(_kernel, max_depth=D, t_min=cfg.t_min,
-                               tile_b=tile_b, s_pad=s_pad)
+    kernel = functools.partial(_kernel_entry, max_depth=D, t_min=cfg.t_min,
+                               tile_b=tile_b, s_pad=s_pad, r_pad=r_pad,
+                               has_sph=has_sph, has_pla=has_pla)
     grid = (n_tiles,)
-    out_shapes = [
-        jax.ShapeDtypeStruct((KT_ROWS, s_pad), jnp.float32),       # dtab
+
+    inputs = [par, ipar, rid_p, o_p, d_p, tm_p, cod_p, g_p]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((8, lanes_l), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((24, lanes_l), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((24, lanes_l), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((16, lanes_l), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8 * D, lanes_l), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((24, lanes_l), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_sph:
+        inputs.append(ktab_split)
+        in_specs.append(pl.BlockSpec((2 * KT_ROWS, s_pad), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    if has_pla:
+        inputs.append(ptab_split)
+        in_specs.append(pl.BlockSpec((2 * KP_ROWS, r_pad), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    out_shapes = []
+    out_specs = []
+    if has_sph:
+        out_shapes.append(jax.ShapeDtypeStruct((KT_ROWS, s_pad), jnp.float32))
+        out_specs.append(pl.BlockSpec((KT_ROWS, s_pad), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    if has_pla:
+        out_shapes.append(jax.ShapeDtypeStruct((KP_ROWS, r_pad), jnp.float32))
+        out_specs.append(pl.BlockSpec((KP_ROWS, r_pad), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    out_shapes += [
         jax.ShapeDtypeStruct((24, n_tiles * lanes_l), jnp.float32),  # do
         jax.ShapeDtypeStruct((24, n_tiles * lanes_l), jnp.float32),  # dd
         jax.ShapeDtypeStruct((8, n_tiles * lanes_l), jnp.float32),   # dtm
         jax.ShapeDtypeStruct((24, n_tiles * lanes_l), jnp.float32),  # dbg
     ]
-    out_specs = [
-        pl.BlockSpec((KT_ROWS, s_pad), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
+    out_specs += [
         pl.BlockSpec((24, lanes_l), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((24, lanes_l), lambda i: (0, i),
@@ -743,35 +1077,29 @@ def replay_bwd_sphere(ktab: Array, background: Array, cfg: RenderConfig,
         pl.BlockSpec((24, lanes_l), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
     ]
-    dtab, do_, dd_, dtm_, dbg_ = pl.pallas_call(
+
+    scratch_shapes = [pltpu.VMEM((80 * D, lanes_l), jnp.float32)]  # states
+    if has_sph:
+        scratch_shapes.append(
+            pltpu.VMEM((8 * KT_ROWS * D, lanes_l), jnp.float32))   # s rows
+    if has_pla:
+        scratch_shapes.append(
+            pltpu.VMEM((8 * KP_ROWS * D, lanes_l), jnp.float32))   # p rows
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, lanes_l), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((24, lanes_l), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((24, lanes_l), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, lanes_l), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * D, lanes_l), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((24, lanes_l), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * KT_ROWS, s_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((80 * D, lanes_l), jnp.float32),            # states
-            pltpu.VMEM((8 * KT_ROWS * D, lanes_l), jnp.float32),   # rows
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(par, ipar, rid_p, o_p, d_p, tm_p, cod_p, g_p, ktab_split)
+    )(*inputs)
+
+    outs = list(outs)
+    dtab = outs.pop(0)[:, :S] if has_sph else None
+    dptab = outs.pop(0)[:, :R] if has_pla else None
+    do_, dd_, dtm_, dbg_ = outs
 
     def _unlane(x, ch):
         x = x.reshape(ch, 8, n_tiles, lanes_l)
@@ -781,4 +1109,4 @@ def replay_bwd_sphere(ktab: Array, background: Array, cfg: RenderConfig,
     d_d = _unlane(dd_, 3)
     d_tm = _unlane(dtm_, 1)[:, 0]
     d_bg = _unlane(dbg_, 3).sum(axis=0)
-    return dtab[:, :S], d_o, d_d, d_tm, d_bg
+    return dtab, dptab, d_o, d_d, d_tm, d_bg

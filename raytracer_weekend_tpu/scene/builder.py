@@ -575,6 +575,8 @@ class _Compiler:
         static = SceneStatic(
             n_spheres=n_spheres, n_rects=n_rects, n_triangles=n_tris,
             n_volumes=n_vols, has_noise=has_noise, has_image=has_image,
+            has_uvdebug=bool(np.any(np.asarray(textures.ttype)
+                                    == tex_mod.UVDEBUG)),
             sphere_bvh=sphere_bvh is not None,
             triangle_bvh=triangle_bvh is not None,
             fused_simple=fused_simple,

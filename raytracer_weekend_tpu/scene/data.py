@@ -142,6 +142,9 @@ class SceneStatic:
     n_volumes: int
     has_noise: bool
     has_image: bool
+    # Any UVDebug texture in the table (gates the fused replay backward,
+    # which evaluates solid/checker in-kernel only).
+    has_uvdebug: bool = False
     # Set when a BVH is attached for the family (round-1: brute force only).
     sphere_bvh: bool = False
     triangle_bvh: bool = False
