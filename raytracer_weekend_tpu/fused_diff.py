@@ -55,26 +55,38 @@ def _make_diff(static: SceneStatic, cfg: RenderConfig, n_chunk: int,
                               interpret=interpret, static=static)
         return rad
 
-    def fwd(scene, cam, lane_start, seed):
-        rad, _, codes = render_fused(scene, cfg, cam, lane_start, n_chunk,
-                                     seed, interpret=interpret, static=static,
-                                     emit_paths=True)
-        return rad, (scene, cam, lane_start, seed, codes)
-
-    # The fused Pallas replay-backward kernel covers sphere + rect +
-    # triangle scenes with solid/checker textures (ops/pallas/
-    # replay_bwd.py); volume / noise / image / UVDebug scenes re-trace
-    # through the XLA replay (replay.py). Measured v5e (jumpy): XLA
-    # replay fwd+bwd 287 ms vs a 40 ms fused forward.
     has_sph = static.n_spheres > 0
     has_pla = static.n_rects + static.n_triangles > 0
     kernel_bwd = ((has_sph or has_pla)
                   and static.n_volumes == 0
-                  and not static.has_noise and not static.has_image
                   and not static.has_uvdebug)
+    defer = kernel_bwd and (static.has_noise or static.has_image)
+
+    def fwd(scene, cam, lane_start, seed):
+        outs = render_fused(scene, cfg, cam, lane_start, n_chunk,
+                            seed, interpret=interpret, static=static,
+                            emit_paths=True, emit_deferred=defer)
+        if defer:
+            rad, _, codes, ctb, dfr = outs
+        else:
+            rad, _, codes = outs
+            ctb = dfr = None
+        return rad, (scene, cam, lane_start, seed, codes, ctb, dfr)
+
+    # The fused Pallas replay-backward kernel covers sphere + rect +
+    # triangle scenes (ops/pallas/replay_bwd.py). Solid/checker textures
+    # evaluate in-kernel; noise/image textures go through the deferred-
+    # record factorization: the kernel's per-bounce contributions ctb and
+    # texel records dfr are saved at forward time, jax.vjp of the
+    # deferred combine yields the texture-table gradients plus the
+    # kernel's per-bounce radiance cotangents (c_ctb) and noise
+    # hit-point cotangents (c_abc), and the kernel chains the rest.
+    # Volume / UVDebug scenes re-trace through the XLA replay
+    # (replay.py). Measured v5e (jumpy): XLA replay fwd+bwd 287 ms vs a
+    # 40 ms fused forward.
 
     def bwd(res, g):
-        scene, cam, lane_start, seed, codes = res
+        scene, cam, lane_start, seed, codes, ctb, dfr = res
         # jax.vjp rejects integer inputs: differentiate w.r.t. the float
         # leaves only; int/bool leaves (ids, valid masks) get float0.
         leaves, treedef = jtu.tree_flatten(scene)
@@ -99,13 +111,47 @@ def _make_diff(static: SceneStatic, cfg: RenderConfig, n_chunk: int,
                 ptab = pack_ptab(sc, static) if has_pla else None
                 return (ktab, ptab, sc.background, o, d, time), ray_id
 
+            g_k = g
+            cabc = None
+            g_float_c = None
+            if defer:
+                from raytracer_weekend_tpu.ops.pallas.megakernel import (
+                    _combine_deferred)
+
+                # Dead records (code 0) carry whatever the kernel's lanes
+                # held — on-chip that can be huge values whose texture
+                # Jacobian is NaN (sin'/asin' of 1e30); the masked-zero
+                # cotangent times a NaN Jacobian is NaN and one lane
+                # poisons every geometry row through the kernel carries.
+                # Differentiate the combine at abc = (0.5, 0.5, 0.5) for
+                # dead records: regular for every consumer (sphere_uv's
+                # atan2/asin Jacobian is NaN at 0 and at the poles).
+                live_rec = (jnp.abs(jnp.round(dfr[..., 3])) > 0.5)[..., None]
+                abc_live = jnp.where(live_rec, dfr[..., 0:3], 0.5)
+
+                def combine_f(fl, ctb_, abc):
+                    sc = _unflatten(fl)
+                    dfr2 = jnp.concatenate([abc, dfr[..., 3:4]], axis=-1)
+                    return _combine_deferred(
+                        sc, ctb_, dfr2, has_noise=static.has_noise,
+                        has_image=static.has_image, pallas_noise=False,
+                        remat=True)
+
+                _, vjp_c = jax.vjp(combine_f, float_leaves, ctb,
+                                   abc_live)
+                g_float_c, g_k, cabc = vjp_c(g)
+                if not static.has_noise:
+                    cabc = None     # image-nearest: d(abc) structurally 0
+
             (ktab, ptab, bg, o, d, time), ray_id = pack_f(float_leaves, cam)
             dktab, dptab, d_o, d_d, d_tm, d_bg = replay_bwd_fused(
-                ktab, ptab, bg, cfg, o, d, time, ray_id, seed, codes, g,
-                n_chunk, interpret=interpret)
+                ktab, ptab, bg, cfg, o, d, time, ray_id, seed, codes, g_k,
+                n_chunk, interpret=interpret, cabc=cabc)
             _, vjp = jax.vjp(lambda fl, cm: pack_f(fl, cm)[0],
                              float_leaves, cam)
             g_float, g_cam = vjp((dktab, dptab, d_bg, d_o, d_d, d_tm))
+            if g_float_c is not None:
+                g_float = [a + b for a, b in zip(g_float, g_float_c)]
         else:
             def replay_f(float_leaves, cam):
                 sc = _unflatten(float_leaves)

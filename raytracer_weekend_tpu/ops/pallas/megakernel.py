@@ -1693,7 +1693,8 @@ def _pack_par(scene: SceneData, cam: Camera) -> Array:
 def _combine_deferred(scene: SceneData, ctb: Array, dfr: Array,
                       *, has_noise: bool, has_image: bool,
                       pallas_noise: bool = False,
-                      return_factors: bool = False):
+                      return_factors: bool = False,
+                      remat: bool = False):
     """rad = sum_k c_k * prod_{j<=k} f_j  over deferred noise/image texels.
 
     The kernel shaded deferred texels as 1.0 and recorded (a, b, c, code)
@@ -1738,6 +1739,11 @@ def _combine_deferred(scene: SceneData, ctb: Array, dfr: Array,
     # once and loops; the work is bandwidth-bound either way.
     B = ctb.shape[0]
     piece = int(os.environ.get("RTW_COMBINE_PIECE", 1 << 15))
+    if remat:
+        # Differentiated combine (fused_diff deferred backward): without
+        # rematerialization, vjp-of-lax.map stores every piece's texel
+        # intermediates — measured 17.7 GB (> HBM) on earth 400x225x16 d8.
+        combine = jax.checkpoint(combine)
     if B <= piece:
         return combine((ctb, dfr))
     n_p = -(-B // piece)
@@ -1877,7 +1883,8 @@ def _derive_sizes(cfg: RenderConfig, S: int, n_planar: int,
                                     "tile_override", "s_pad_override",
                                     "r_chunk_override", "s_chunk_override",
                                     "ablate", "static",
-                                    "defer_tex", "emit_paths", "p_k",
+                                    "defer_tex", "emit_paths",
+                                    "emit_deferred", "p_k",
                                     "pp_k", "d0", "phase_in",
                                     "phase_out", "p_ovf"))
 def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
@@ -1891,6 +1898,7 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  static: SceneStatic | None = None,
                  defer_tex: bool | None = None,
                  emit_paths: bool = False,
+                 emit_deferred: bool = False,
                  ptab_full=None, ptab_int=None, p_k: int = 0,
                  ptab_pd=None, ptab_po=None, ptab_pg=None,
                  pp_k: int = 0,
@@ -2335,6 +2343,9 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
         seg = _untile(seg)
         if emit_paths:
             codes = _untile(codes)
+        if emit_deferred and defer_tex:
+            ctb = _untile(ctb)
+            dfr = _untile(dfr)
         if phase_out:
             state_out = _untile(state_out)
             if defer_tex:
@@ -2342,6 +2353,13 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
     outs = [rad[:n_chunk], seg[:n_chunk]]
     if emit_paths:
         outs.append(codes[:n_chunk])
+    if emit_deferred and defer_tex:
+        # Raw per-bounce deferred-texture records (kernel shaded the
+        # texel as 1.0): ctb (n, D, 3) radiance contributions and dfr
+        # (n, D, 4) = (a, b, c, code) — the fused replay backward's
+        # residuals (fused_diff deferred path).
+        outs.append(ctb[:n_chunk])
+        outs.append(dfr[:n_chunk])
     if phase_out:
         outs.append(state_out[:n_chunk])
         if defer_tex:

@@ -189,16 +189,19 @@ def pack_ptab(scene: SceneData, static: SceneStatic) -> Array:
 
 
 def _kernel(refs, *, max_depth: int, t_min: float, tile_b: int,
-            s_pad: int, r_pad: int, has_sph: bool, has_pla: bool):
+            s_pad: int, r_pad: int, has_sph: bool, has_pla: bool,
+            defer: bool = False, defer_noise: bool = False):
     it = iter(refs)
     par_ref = next(it)
     ipar_ref = next(it)
+    trips_ref = next(it)
     rid_ref = next(it)
     o_ref = next(it)
     d_ref = next(it)
     tm_ref = next(it)
     cod_ref = next(it)
-    g_ref = next(it)
+    g_ref = next(it)                        # (24, L) or (24*D, L) if defer
+    cabc_ref = next(it) if defer_noise else None
     ktab_ref = next(it) if has_sph else None
     ptab_ref = next(it) if has_pla else None
     dtab_ref = next(it) if has_sph else None
@@ -260,6 +263,25 @@ def _kernel(refs, *, max_depth: int, t_min: float, tile_b: int,
         idx_p = jnp.where(plaf > 0.0, idx, zero_f)
         return hitf, sphf, plaf, idx_s, idx_p
 
+    def _acc_transposed(dref, crows, iota, idx, n_rows):
+        """dref += sum_lanes cot x one-hot, per sublane row. The cotangent
+        is split into three bf16-exact mantissa pieces and contracted in
+        ONE DEFAULT-precision dot over a 3L-wide lane axis (the one-hot is
+        0/1, exact in bf16) — equal to the HIGHEST-precision dot up to
+        summation order at half its pass count (3 vs 6; measured the
+        HIGHEST accumulation dominated the reverse sweep)."""
+        for s in range(8):
+            cot = jnp.concatenate(
+                [cr_[s:s + 1, :] for cr_ in crows], axis=0)    # (rows, L)
+            ch = _bf16_trunc(cot)
+            cm = _bf16_trunc(cot - ch)
+            cl = cot - ch - cm
+            cot3 = jnp.concatenate([ch, cm, cl], axis=1)       # (rows, 3L)
+            oh = jnp.where(iota == idx[s:s + 1, :], f(1.0), f(0.0))
+            oh3 = jnp.concatenate([oh, oh, oh], axis=1)        # (prim, 3L)
+            dref[:, :] = dref[:, :] + jax.lax.dot_general(
+                cot3, oh3, dn_t, preferred_element_type=f)
+
     def _gather(tab_ref, iota, idx, n_rows, stash_ref, stash_base):
         """One-hot [hi; lo]-split row gather for all 8 sublane rows; rows
         stashed for the reverse sweep. Returns the 8 per-sublane (rows, L)
@@ -310,16 +332,22 @@ def _kernel(refs, *, max_depth: int, t_min: float, tile_b: int,
 
     def _tex_cols(G, ttype_row, c1r, c1g, c1b, c2r, c2g, c2b, scale_row,
                   px, py, pz):
-        """Solid/checker texture value from table rows at point p."""
+        """Texture value from table rows at point p: solid/checker inline;
+        deferred rows (noise/image, ttype >= 2) shade as 1.0 — exactly the
+        forward megakernel's deferred-texture convention (the true texel is
+        applied/differentiated outside, _combine_deferred)."""
         scale = G(scale_row)
+        ttype = G(ttype_row)
         sines = (jnp.sin(scale * px) * jnp.sin(scale * py)
                  * jnp.sin(scale * pz))
-        use2 = jnp.where((G(ttype_row) == 1.0) & (sines < 0.0), one_f,
+        use2 = jnp.where((ttype == 1.0) & (sines < 0.0), one_f,
                          zero_f)
-        tex_r = use2 * G(c2r) + (1.0 - use2) * G(c1r)
-        tex_g = use2 * G(c2g) + (1.0 - use2) * G(c1g)
-        tex_b = use2 * G(c2b) + (1.0 - use2) * G(c1b)
-        return use2, tex_r, tex_g, tex_b
+        live = jnp.where(ttype <= 1.5, one_f, zero_f)
+        noise = jnp.where(ttype == 2.0, one_f, zero_f)
+        tex_r = live * (use2 * G(c2r) + (1.0 - use2) * G(c1r)) + (1.0 - live)
+        tex_g = live * (use2 * G(c2g) + (1.0 - use2) * G(c1g)) + (1.0 - live)
+        tex_b = live * (use2 * G(c2b) + (1.0 - use2) * G(c1b)) + (1.0 - live)
+        return use2, live, noise, tex_r, tex_g, tex_b
 
     # ---------------- forward sweep: recompute + stash -------------------
     def fwd_body(k, carry):
@@ -374,9 +402,10 @@ def _kernel(refs, *, max_depth: int, t_min: float, tile_b: int,
             mtype = mtype + sphf * Gs(_K_MTYPE)
             fuzz = fuzz + sphf * Gs(_K_FUZZ)
             ior = ior + sphf * Gs(_K_IOR)
-            _, txr, txg, txb = _tex_cols(Gs, _K_TTYPE, _K_C1R, _K_C1G,
-                                         _K_C1B, _K_C2R, _K_C2G, _K_C2B,
-                                         _K_TSCALE, px, py, pz)
+            _, _, _, txr, txg, txb = _tex_cols(Gs, _K_TTYPE, _K_C1R,
+                                               _K_C1G, _K_C1B, _K_C2R,
+                                               _K_C2G, _K_C2B,
+                                               _K_TSCALE, px, py, pz)
             tex_r = tex_r + sphf * txr
             tex_g = tex_g + sphf * txg
             tex_b = tex_b + sphf * txb
@@ -394,9 +423,10 @@ def _kernel(refs, *, max_depth: int, t_min: float, tile_b: int,
             mtype = mtype + plaf * Gp(_P_MTYPE)
             fuzz = fuzz + plaf * Gp(_P_FUZZ)
             ior = ior + plaf * Gp(_P_IOR)
-            _, txr, txg, txb = _tex_cols(Gp, _P_TTYPE, _P_C1R, _P_C1G,
-                                         _P_C1B, _P_C2R, _P_C2G, _P_C2B,
-                                         _P_TSCALE, px, py, pz)
+            _, _, _, txr, txg, txb = _tex_cols(Gp, _P_TTYPE, _P_C1R,
+                                               _P_C1G, _P_C1B, _P_C2R,
+                                               _P_C2G, _P_C2B,
+                                               _P_TSCALE, px, py, pz)
             tex_r = tex_r + plaf * txr
             tex_g = tex_g + plaf * txg
             tex_b = tex_b + plaf * txb
@@ -478,14 +508,21 @@ def _kernel(refs, *, max_depth: int, t_min: float, tile_b: int,
         tpb = jnp.where(hitf > 0.0, tpb * att_b, tpb)
         return (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, alive2)
 
+    # Per-tile dynamic trip count (host-derived from the codes): bounces
+    # past the tile's last live lane are exact no-ops in both sweeps —
+    # skipping them reclaims the dead-tail occupancy (sky tiles process
+    # one bounce, not D).
+    trip = trips_ref[0, pl.program_id(0)]
+
     init = (ox0, oy0, oz0, dx0, dy0, dz0, one_f, one_f, one_f,
             jnp.where(in_chunk > 0.0, one_f, zero_f))
-    jax.lax.fori_loop(0, D, fwd_body, init)
+    jax.lax.fori_loop(0, trip, fwd_body, init)
 
     # ---------------- reverse sweep --------------------------------------
-    g_r = g_ref[0:8, :]
-    g_g = g_ref[8:16, :]
-    g_b = g_ref[16:24, :]
+    if not defer:
+        g_r0 = g_ref[0:8, :]
+        g_g0 = g_ref[8:16, :]
+        g_b0 = g_ref[16:24, :]
 
     @pl.when(pl.program_id(0) == 0)
     def _init_dtab():
@@ -497,7 +534,7 @@ def _kernel(refs, *, max_depth: int, t_min: float, tile_b: int,
     dbg_ref[:, :] = jnp.zeros(dbg_ref.shape, f)
 
     def rev_body(kk, carry):
-        k = D - 1 - kk
+        k = trip - 1 - kk
         (cox, coy, coz, cdx, cdy, cdz, ctr, ctg, ctb, ctime) = carry
         ox = st_ref[pl.ds(k * 80, 8), :]
         oy = st_ref[pl.ds(k * 80 + 8, 8), :]
@@ -513,6 +550,15 @@ def _kernel(refs, *, max_depth: int, t_min: float, tile_b: int,
         hitf, sphf, plaf, idx_s, idx_p = _codes(k, alive_m)
         missf = jnp.where((alive_m > 0.0) & (hitf <= 0.0), one_f, zero_f)
         a = dx * dx + dy * dy + dz * dz
+
+        if defer:
+            # Per-bounce radiance cotangent: g scaled by the deferred
+            # factor cumprod (jax.vjp of _combine_deferred w.r.t. ctb).
+            g_r = g_ref[pl.ds(k * 24, 8), :]
+            g_g = g_ref[pl.ds(k * 24 + 8, 8), :]
+            g_b = g_ref[pl.ds(k * 24 + 16, 8), :]
+        else:
+            g_r, g_g, g_b = g_r0, g_g0, g_b0
 
         # recompute the bounce's forward intermediates from stashed rows
         t = zero_f
@@ -554,7 +600,7 @@ def _kernel(refs, *, max_depth: int, t_min: float, tile_b: int,
             mtype = mtype + sphf * Gs(_K_MTYPE)
             fuzz = fuzz + sphf * Gs(_K_FUZZ)
             ior = ior + sphf * Gs(_K_IOR)
-            use2_s, txr, txg, txb = _tex_cols(
+            use2_s, live_s, noise_s, txr, txg, txb = _tex_cols(
                 Gs, _K_TTYPE, _K_C1R, _K_C1G, _K_C1B, _K_C2R, _K_C2G,
                 _K_C2B, _K_TSCALE, px, py, pz)
             tex_r = tex_r + sphf * txr
@@ -574,7 +620,7 @@ def _kernel(refs, *, max_depth: int, t_min: float, tile_b: int,
             mtype = mtype + plaf * Gp(_P_MTYPE)
             fuzz = fuzz + plaf * Gp(_P_FUZZ)
             ior = ior + plaf * Gp(_P_IOR)
-            use2_p, txr, txg, txb = _tex_cols(
+            use2_p, live_p, noise_p, txr, txg, txb = _tex_cols(
                 Gp, _P_TTYPE, _P_C1R, _P_C1G, _P_C1B, _P_C2R, _P_C2G,
                 _P_C2B, _P_TSCALE, px, py, pz)
             tex_r = tex_r + plaf * txr
@@ -646,6 +692,18 @@ def _kernel(refs, *, max_depth: int, t_min: float, tile_b: int,
         cpx = alive2 * cox
         cpy = alive2 * coy
         cpz = alive2 * coz
+        if defer_noise:
+            # Noise-marble deferred records store abc = p: the outside
+            # combine's d(abc) cotangent enters the hit point here and
+            # rides the family geometry chains back to tables/o0/d0.
+            noisef = zero_f
+            if has_sph:
+                noisef = noisef + sphf * noise_s
+            if has_pla:
+                noisef = noisef + plaf * noise_p
+            cpx = cpx + noisef * cabc_ref[pl.ds(k * 24, 8), :]
+            cpy = cpy + noisef * cabc_ref[pl.ds(k * 24 + 8, 8), :]
+            cpz = cpz + noisef * cabc_ref[pl.ds(k * 24 + 16, 8), :]
         cox = (1.0 - alive2) * cox
         coy = (1.0 - alive2) * coy
         coz = (1.0 - alive2) * coz
@@ -688,6 +746,17 @@ def _kernel(refs, *, max_depth: int, t_min: float, tile_b: int,
         ctex_r = ctex_r + att_tex * catt_r
         ctex_g = ctex_g + att_tex * catt_g
         ctex_b = ctex_b + att_tex * catt_b
+        if defer:
+            # Deferred rows shade tex = 1.0 (constant): their texel
+            # cotangent belongs to the outside combine, not to c1/c2.
+            livef = zero_f
+            if has_sph:
+                livef = livef + sphf * live_s
+            if has_pla:
+                livef = livef + plaf * live_p
+            ctex_r = ctex_r * livef
+            ctex_g = ctex_g * livef
+            ctex_b = ctex_b * livef
 
         # nd select -> branch cotangents
         metf = jnp.where(is_met, one_f, zero_f)
@@ -857,13 +926,7 @@ def _kernel(refs, *, max_depth: int, t_min: float, tile_b: int,
                        dc2s_r, dc2s_g, dc2s_b,
                        zero_f,                                     # scale
                        zero_f, zero_f, zero_f, zero_f, zero_f]     # pad
-            for s in range(8):
-                cot = jnp.concatenate(
-                    [cr_[s:s + 1, :] for cr_ in crows_s], axis=0)  # (KT, L)
-                oh = jnp.where(iota_s == idx_s[s:s + 1, :], f(1.0), f(0.0))
-                dtab_ref[:, :] = dtab_ref[:, :] + jax.lax.dot_general(
-                    cot, oh, dn_t, precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=f)                      # (KT, S)
+            _acc_transposed(dtab_ref, crows_s, iota_s, idx_s, KT_ROWS)
 
         if has_pla:
             cno_x = sgn * cnx * plaf
@@ -936,19 +999,13 @@ def _kernel(refs, *, max_depth: int, t_min: float, tile_b: int,
                        dc1p_r, dc1p_g, dc1p_b,
                        dc2p_r, dc2p_g, dc2p_b,
                        zero_f]                                      # scale
-            for s in range(8):
-                cot = jnp.concatenate(
-                    [cr_[s:s + 1, :] for cr_ in crows_p], axis=0)  # (KP, L)
-                oh = jnp.where(iota_p == idx_p[s:s + 1, :], f(1.0), f(0.0))
-                dptab_ref[:, :] = dptab_ref[:, :] + jax.lax.dot_general(
-                    cot, oh, dn_t, precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=f)                      # (KP, R)
+            _acc_transposed(dptab_ref, crows_p, iota_p, idx_p, KP_ROWS)
 
         return (cox, coy, coz, cdx, cdy, cdz, ctr, ctg, ctb, ctime)
 
     rev0 = (zero_f,) * 6 + (zero_f, zero_f, zero_f, zero_f)
     (cox, coy, coz, cdx, cdy, cdz, _, _, _, ctime) = jax.lax.fori_loop(
-        0, D, rev_body, rev0)
+        0, trip, rev_body, rev0)
 
     do_ref[0:8, :] = cox
     do_ref[8:16, :] = coy
@@ -967,14 +1024,21 @@ def _kernel_entry(*refs, **params):
 def replay_bwd_fused(ktab, ptab, background: Array, cfg: RenderConfig,
                      o: Array, d: Array, time: Array, ray_id: Array,
                      seed, codes: Array, g: Array, n_chunk: int,
-                     interpret: bool = False):
+                     interpret: bool = False, cabc=None):
     """Run the fused replay backward.
 
     ktab (KT, S) / ptab (KP, R) may each be None when the family is absent.
+    g is the radiance cotangent: (B, 3) for inline-texture scenes, or
+    (B, D, 3) per-bounce cotangents for deferred-texture scenes (jax.vjp
+    of _combine_deferred w.r.t. ctb); cabc (B, D, 3) optionally carries
+    the combine's d(abc) cotangent (noise hit points) back into the
+    kernel's geometry chains.
     Returns (dktab | None, dptab | None, d_o (B, 3), d_d (B, 3),
     d_time (B,), d_bg (3,))."""
     has_sph = ktab is not None
     has_pla = ptab is not None
+    defer = g.ndim == 3
+    defer_noise = cabc is not None
 
     def _split(tab):
         n = tab.shape[1]
@@ -1011,7 +1075,12 @@ def replay_bwd_fused(ktab, ptab, background: Array, cfg: RenderConfig,
     live = jnp.ones((n_chunk,), jnp.float32)
     tm_p = jnp.concatenate([_wide(time), _wide(live)], axis=0)  # (16, .)
     rid_p = _wide(ray_id.astype(jnp.int32))
-    g_p = _wide3(g)
+    if defer:
+        g_p = jnp.concatenate([_wide3(g[:, k, :]) for k in range(D)], axis=0)
+    else:
+        g_p = _wide3(g)
+    cabc_p = (jnp.concatenate([_wide3(cabc[:, k, :]) for k in range(D)],
+                              axis=0) if defer_noise else None)
     cod_p = jnp.concatenate([_wide(codes[:, k]) for k in range(D)], axis=0)
 
     par = jnp.concatenate([
@@ -1020,13 +1089,27 @@ def replay_bwd_fused(ktab, ptab, background: Array, cfg: RenderConfig,
     ]).reshape(1, 8)
     ipar = jnp.asarray(seed, jnp.uint32).astype(jnp.int32).reshape(1, 1)
 
+    # Per-tile trip counts: a lane can need processing at bounce k only if
+    # some lane of its tile had a hit at k-1 (alive_at(k) requires
+    # code[k-1] > 0), plus one trailing bounce for the miss/background
+    # term. Sky tiles process 1 bounce instead of D.
+    code_hit = jnp.pad(codes > 0.5, ((0, b_pad - n_chunk), (0, 0)))
+    tile_hit = code_hit.reshape(n_tiles, tile_b, D).any(axis=1)
+    any_hit = tile_hit.any(axis=1)
+    last = (D - 1) - jnp.argmax(tile_hit[:, ::-1].astype(jnp.int32), axis=1)
+    last = jnp.where(any_hit, last, -1)
+    trips = jnp.minimum(D, last + 2).astype(jnp.int32).reshape(1, n_tiles)
+
     kernel = functools.partial(_kernel_entry, max_depth=D, t_min=cfg.t_min,
                                tile_b=tile_b, s_pad=s_pad, r_pad=r_pad,
-                               has_sph=has_sph, has_pla=has_pla)
+                               has_sph=has_sph, has_pla=has_pla,
+                               defer=defer, defer_noise=defer_noise)
     grid = (n_tiles,)
 
-    inputs = [par, ipar, rid_p, o_p, d_p, tm_p, cod_p, g_p]
+    g_rows = 24 * D if defer else 24
+    inputs = [par, ipar, trips, rid_p, o_p, d_p, tm_p, cod_p, g_p]
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((8, lanes_l), lambda i: (0, i),
@@ -1039,9 +1122,13 @@ def replay_bwd_fused(ktab, ptab, background: Array, cfg: RenderConfig,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((8 * D, lanes_l), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((24, lanes_l), lambda i: (0, i),
+        pl.BlockSpec((g_rows, lanes_l), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
     ]
+    if defer_noise:
+        inputs.append(cabc_p)
+        in_specs.append(pl.BlockSpec((24 * D, lanes_l), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
     if has_sph:
         inputs.append(ktab_split)
         in_specs.append(pl.BlockSpec((2 * KT_ROWS, s_pad), lambda i: (0, 0),

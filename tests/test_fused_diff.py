@@ -292,3 +292,86 @@ def test_replay_bwd_kernel_planar_mixed_matches_xla_replay():
     # allclose above pins the kernel's zeros to tight atol). The live
     # leaves are the texture colors and the background.
     assert checked >= 3
+
+
+@pytest.mark.parametrize("scene_name", ["earth", "two_perlin_spheres",
+                                        "simple_light"])
+def test_replay_bwd_kernel_deferred_matches_xla_replay(scene_name):
+    """Deferred-texture scenes (noise/image): the fused replay backward —
+    kernel + jax.vjp of the deferred combine — must match jax.vjp of the
+    XLA replay on every float leaf. Unlike solid/checker scenes these have
+    LIVE geometry gradients (the marble depends continuously on the hit
+    point; texel gradients scatter into the image atlas), so this
+    exercises the kernel's quadratic/planar reverse chains end to end."""
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+    import numpy as np
+    from raytracer_weekend_tpu.config import RenderConfig
+    from raytracer_weekend_tpu.fused_diff import render_fused_diff
+    from raytracer_weekend_tpu.integrator import _pixel_rays, replay_rays
+    from raytracer_weekend_tpu.models.scenes import generate_scene
+    from raytracer_weekend_tpu.ops.pallas.megakernel import render_fused
+
+    scene, static, cams = generate_scene(scene_name, 16 / 9)
+    assert static.has_noise or static.has_image
+    cfg = RenderConfig(width=24, height=14, samples_per_pixel=2, max_depth=4)
+    cam = cams[0]
+    seed = jnp.uint32(0)
+    n = cfg.n_rays
+
+    def loss(sc):
+        rad = render_fused_diff(sc, static, cfg, cam, 0, n, seed,
+                                interpret=True)
+        return jnp.sum(rad * rad)
+
+    g_k = jax.grad(loss, allow_int=True)(scene)
+
+    rad, _, codes = render_fused(scene, cfg, cam, 0, n, seed,
+                                 interpret=True, static=static,
+                                 emit_paths=True)
+    g_out = 2.0 * rad
+    leaves, treedef = jtu.tree_flatten(scene)
+    mask = [jnp.issubdtype(jnp.asarray(le).dtype, jnp.floating)
+            for le in leaves]
+    fl = [le for le, m in zip(leaves, mask) if m]
+
+    def replay_f(fl):
+        it = iter(fl)
+        full = [next(it) if m else le for le, m in zip(leaves, mask)]
+        sc = jtu.tree_unflatten(treedef, full)
+        ids = jnp.arange(n, dtype=jnp.int32)
+        o, d, tm, rid = _pixel_rays(cam, cfg, ids, seed)
+        return replay_rays(sc, static, cfg, o, d, tm, rid, seed, codes)
+
+    _, vjp = jax.vjp(replay_f, fl)
+    ref_fl = vjp(g_out)[0]
+    got_fl = [le for le, m in zip(jtu.tree_leaves(g_k), mask) if m]
+    live = 0
+    # Noise scenes: the kernel path evaluates the marble at the
+    # megakernel-RECORDED hit point while the replay recomputes it; the
+    # two differ by fp reassociation at the 1e-4 level (the same spread
+    # test_replay_reproduces_fused_forward accepts), and the 7-octave
+    # turbulence derivative amplifies input jitter ~60x at first order
+    # (measured: a 1e-6 global jitter moves the reference c0 gradient by
+    # 6e-5 relative — round-5 probe). Geometry leaves therefore agree in
+    # direction (cosine pinned below) with a few-percent magnitude
+    # spread; smooth leaves (colors, Perlin table, background) agree to
+    # ~1e-3 or better.
+    tol = 6e-2 if static.has_noise else 5e-5
+    for ref, got in zip(ref_fl, got_fl):
+        a, b = np.asarray(ref), np.asarray(got)
+        assert not np.isnan(b).any()
+        if a.size == 0:
+            continue
+        scale = np.abs(a).max()
+        np.testing.assert_allclose(b, a, atol=max(scale, 1.0) * tol)
+        if scale > 0:
+            na, nb = np.linalg.norm(a), np.linalg.norm(b)
+            cos = float((a * b).sum() / (na * nb + 1e-30))
+            assert cos > 0.998, cos
+            live += 1
+    # Live gradient surface: nearest-image scenes expose texels +
+    # background (geometry structurally zero); noise scenes additionally
+    # expose sphere centers/radii, colors, scale, and the Perlin table.
+    assert live >= (4 if static.has_noise else 2), live
