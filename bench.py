@@ -170,15 +170,25 @@ def main() -> int:
     dstarts = list(range(0, n_lanes - dbatch + 1, dbatch))
 
     if use_fused:
-        from raytracer_weekend_tpu.fused_diff import render_fused_diff
+        from raytracer_weekend_tpu.fused_diff import (prepare_peel,
+                                                      render_fused_diff)
+
+        # Peeled-primary pack computed once on the concrete scene (the
+        # jitted step only sees tracers, where the prepass can't run) and
+        # passed through as arrays: the fwd inside fwd+bwd runs the same
+        # fast path as the forward bench (VERDICT r4 #3).
+        ppack = prepare_peel(scene, static, cfg, cam, dbatch)
+        pstat, pnames, parrs = ppack if ppack else ((), (), ())
 
         @jax.jit
-        def diff_chunk(scene, cam, start, seed):
+        def diff_chunk(scene, cam, start, seed, parrs):
             def loss(scene):
                 return render_fused_diff(scene, static, cfg, cam, start,
-                                         dbatch, seed,
-                                         interpret=interp).sum()
+                                         dbatch, seed, interpret=interp,
+                                         peel=(pstat, pnames,
+                                               tuple(parrs))).sum()
             return jax.grad(loss, allow_int=True)(scene)
+        diff_chunk = functools.partial(diff_chunk, parrs=tuple(parrs))
     else:
         @jax.jit
         def diff_chunk(scene, cam, start, seed):

@@ -44,15 +44,52 @@ def _float0_like(x):
     return np.zeros(jnp.shape(x), dtype=jax.dtypes.float0)
 
 
+def prepare_peel(scene: SceneData, static: SceneStatic, cfg: RenderConfig,
+                 cam: Camera, n_chunk: int):
+    """Precompute the peeled-primary tables for render_fused_diff.
+
+    The peel prepass runs on CONCRETE arrays (megakernel._peel_primary_
+    tables); under jit/grad the scene is a tracer and render_fused falls
+    back to the unpeeled core — so callers that jit their train step
+    (bench.py, train loops) compute the pack once at the top level and
+    pass it through as arrays. Returns (static_kwargs, names, arrays) or
+    None; forward-only — gradients never flow through the pack (the
+    tables are gathered copies of scene rows; the custom VJP computes
+    scene gradients from the winner codes independently)."""
+    if (not isinstance(n_chunk, int) or n_chunk != cfg.n_rays
+            or isinstance(scene.spheres.c0, jax.core.Tracer)
+            or isinstance(cam.origin, jax.core.Tracer)):
+        return None
+    from raytracer_weekend_tpu.ops.pallas.megakernel import (
+        _peel_primary_tables)
+    peel = _peel_primary_tables(scene, static, cfg, cam, n_chunk, None,
+                                bool(static.has_noise or static.has_image),
+                                True)
+    if not peel:
+        return None
+    statics = {k: v for k, v in peel.items()
+               if not hasattr(v, "dtype")}
+    arrays = {k: v for k, v in peel.items() if hasattr(v, "dtype")}
+    names = tuple(sorted(arrays))
+    return (tuple(sorted(statics.items())), names,
+            tuple(arrays[k] for k in names))
+
+
 @functools.lru_cache(maxsize=64)
 def _make_diff(static: SceneStatic, cfg: RenderConfig, n_chunk: int,
-               interpret: bool):
+               interpret: bool, peel_statics=(), peel_names=()):
     from raytracer_weekend_tpu.ops.pallas.megakernel import render_fused
 
+    def _peel_kw(peel_arrays):
+        kw = dict(peel_statics)
+        kw.update(zip(peel_names, peel_arrays))
+        return kw
+
     @jax.custom_vjp
-    def fused(scene, cam, lane_start, seed):
+    def fused(scene, cam, lane_start, seed, peel_arrays):
         rad, _ = render_fused(scene, cfg, cam, lane_start, n_chunk, seed,
-                              interpret=interpret, static=static)
+                              interpret=interpret, static=static,
+                              **_peel_kw(peel_arrays))
         return rad
 
     has_sph = static.n_spheres > 0
@@ -62,16 +99,18 @@ def _make_diff(static: SceneStatic, cfg: RenderConfig, n_chunk: int,
                   and not static.has_uvdebug)
     defer = kernel_bwd and (static.has_noise or static.has_image)
 
-    def fwd(scene, cam, lane_start, seed):
+    def fwd(scene, cam, lane_start, seed, peel_arrays):
         outs = render_fused(scene, cfg, cam, lane_start, n_chunk,
                             seed, interpret=interpret, static=static,
-                            emit_paths=True, emit_deferred=defer)
+                            emit_paths=True, emit_deferred=defer,
+                            **_peel_kw(peel_arrays))
         if defer:
             rad, _, codes, ctb, dfr = outs
         else:
             rad, _, codes = outs
             ctb = dfr = None
-        return rad, (scene, cam, lane_start, seed, codes, ctb, dfr)
+        return rad, (scene, cam, lane_start, seed, codes, ctb, dfr,
+                     peel_arrays)
 
     # The fused Pallas replay-backward kernel covers sphere + rect +
     # triangle scenes (ops/pallas/replay_bwd.py). Solid/checker textures
@@ -86,7 +125,7 @@ def _make_diff(static: SceneStatic, cfg: RenderConfig, n_chunk: int,
     # 40 ms fused forward.
 
     def bwd(res, g):
-        scene, cam, lane_start, seed, codes, ctb, dfr = res
+        scene, cam, lane_start, seed, codes, ctb, dfr, peel_arrays = res
         # jax.vjp rejects integer inputs: differentiate w.r.t. the float
         # leaves only; int/bool leaves (ids, valid masks) get float0.
         leaves, treedef = jtu.tree_flatten(scene)
@@ -116,7 +155,7 @@ def _make_diff(static: SceneStatic, cfg: RenderConfig, n_chunk: int,
             g_float_c = None
             if defer:
                 from raytracer_weekend_tpu.ops.pallas.megakernel import (
-                    _combine_deferred)
+                    _combine_deferred, _combine_deferred_single)
 
                 # Dead records (code 0) carry whatever the kernel's lanes
                 # held — on-chip that can be huge values whose texture
@@ -132,6 +171,8 @@ def _make_diff(static: SceneStatic, cfg: RenderConfig, n_chunk: int,
                 def combine_f(fl, ctb_, abc):
                     sc = _unflatten(fl)
                     dfr2 = jnp.concatenate([abc, dfr[..., 3:4]], axis=-1)
+                    if static.defer_single_hit:
+                        return _combine_deferred_single(sc, ctb_, dfr2)
                     return _combine_deferred(
                         sc, ctb_, dfr2, has_noise=static.has_noise,
                         has_image=static.has_image, pallas_noise=False,
@@ -166,7 +207,8 @@ def _make_diff(static: SceneStatic, cfg: RenderConfig, n_chunk: int,
         g_leaves = [next(it) if m else _float0_like(l)
                     for l, m in zip(leaves, mask)]
         return (jtu.tree_unflatten(treedef, g_leaves), g_cam,
-                _float0_like(lane_start), _float0_like(seed))
+                _float0_like(lane_start), _float0_like(seed),
+                tuple(jnp.zeros_like(a) for a in peel_arrays))
 
     fused.defvjp(fwd, bwd)
     return fused
@@ -175,8 +217,17 @@ def _make_diff(static: SceneStatic, cfg: RenderConfig, n_chunk: int,
 def render_fused_diff(scene: SceneData, static: SceneStatic,
                       cfg: RenderConfig, cam: Camera, lane_start,
                       n_chunk: int, seed,
-                      interpret: bool = False) -> Array:
-    """Per-lane radiance (n_chunk, 3) with gradients w.r.t. scene + camera."""
-    fn = _make_diff(static, cfg, int(n_chunk), bool(interpret))
+                      interpret: bool = False, peel=None) -> Array:
+    """Per-lane radiance (n_chunk, 3) with gradients w.r.t. scene + camera.
+
+    `peel`: optional prepare_peel(...) pack — engages the peeled-primary
+    fast path for the forward inside jit/grad (where the scene is traced
+    and render_fused's own concrete-only prepass cannot run). When called
+    with concrete args and no pack, one is computed automatically."""
+    if peel is None:
+        peel = prepare_peel(scene, static, cfg, cam, int(n_chunk))
+    peel_statics, peel_names, peel_arrays = peel if peel else ((), (), ())
+    fn = _make_diff(static, cfg, int(n_chunk), bool(interpret),
+                    peel_statics, peel_names)
     return fn(scene, cam, jnp.asarray(lane_start, jnp.int32),
-              jnp.asarray(seed, jnp.uint32))
+              jnp.asarray(seed, jnp.uint32), tuple(peel_arrays))

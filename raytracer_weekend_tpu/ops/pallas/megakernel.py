@@ -1719,10 +1719,24 @@ def _combine_deferred(scene: SceneData, ctb: Array, dfr: Array,
         sphere_img = is_img & (code > 0)
         u = jnp.where(sphere_img, u_s, dfr[..., 0])  # planar: abc = (u,v,0)
         v = jnp.where(sphere_img, v_s, dfr[..., 1])
-        f_rgb = tex_mod.texture_value(scene.textures, texid, u, v, abc,
-                                      has_noise=has_noise,
-                                      has_image=has_image,
-                                      pallas_noise=pallas_noise)
+        # The `live` mask lets the Pallas perlin kernel skip all-dead
+        # point tiles. Lane-major record order (the emitted layout) makes
+        # a tile = 128 block-tiled lanes x all bounces — dead exactly for
+        # all-sky pixel blocks. RTW_DEFER_TMAJOR=1 instead evaluates in
+        # bounce-major order (dead tails cluster harder, but the
+        # transposes measured +143 ms on simple_light v5e — net loss
+        # there, net win on two_perlin; default off).
+        if os.environ.get("RTW_DEFER_TMAJOR", "0") == "1":
+            f_t = tex_mod.texture_value(
+                scene.textures, texid.T, u.T, v.T, abc.transpose(1, 0, 2),
+                has_noise=has_noise, has_image=has_image,
+                pallas_noise=pallas_noise, live=absid.T > 0)
+            f_rgb = f_t.transpose(1, 0, 2)
+        else:
+            f_rgb = tex_mod.texture_value(
+                scene.textures, texid, u, v, abc,
+                has_noise=has_noise, has_image=has_image,
+                pallas_noise=pallas_noise, live=absid > 0)
         f_rgb = jnp.where((absid > 0)[..., None], f_rgb, 1.0)
         cp = jnp.cumprod(f_rgb, axis=1)
         rad = jnp.sum(ctb * cp, axis=1)
@@ -1758,6 +1772,37 @@ def _combine_deferred(scene: SceneData, ctb: Array, dfr: Array,
         return (rad.reshape(n_p * piece, 3)[:B],
                 fac.reshape(n_p * piece, 3)[:B])
     return out.reshape(n_p * piece, 3)[:B]
+
+
+def _combine_deferred_single(scene: SceneData, ctb: Array, dfr: Array):
+    """Single-deferred-hit combine (SceneStatic.defer_single_hit): each
+    path holds at most ONE live deferred record, so
+    rad = sum_{k<k1} ctb_k + f * sum_{k>=k1} ctb_k with one texel fetch
+    per lane — D fewer image gathers than the general cumprod combine
+    (the gathers were ~92% of earth's frame; the record select below is
+    elementwise, no gather at all)."""
+    from raytracer_weekend_tpu import textures as tex_mod
+    from raytracer_weekend_tpu.ops.sphere import sphere_uv
+
+    code = jnp.round(dfr[..., 3]).astype(jnp.int32)       # (b, D)
+    live = code > 0                                       # sphere records
+    first = live & (jnp.cumsum(live.astype(jnp.int32), axis=1) == 1)
+    any_l = live.any(axis=1)
+    rec = jnp.sum(dfr * first[..., None], axis=1)         # (b, 4)
+    texid = jnp.maximum(jnp.round(rec[..., 3]).astype(jnp.int32) - 1, 0)
+    # Dead lanes: rec = 0; sphere_uv's atan2/asin Jacobian is NaN at the
+    # zero vector — anchor them at a regular point (forward value is
+    # masked below either way, but this function is differentiated by
+    # fused_diff and 0 * NaN poisons the backward).
+    abc = jnp.where(any_l[:, None], rec[..., 0:3], 0.5)
+    u, v = sphere_uv(abc)
+    f_rgb = tex_mod.texture_value(scene.textures, texid, u, v, abc,
+                                  has_noise=False, has_image=True)
+    f_rgb = jnp.where(any_l[:, None], f_rgb, 1.0)         # (b, 3)
+    after = jnp.cumsum(first.astype(jnp.float32), axis=1)  # 1 from k1 on
+    pre = jnp.sum(ctb * (1.0 - after)[..., None], axis=1)
+    post = jnp.sum(ctb * after[..., None], axis=1)
+    return pre + f_rgb * post
 
 
 def _block_perm(cfg: RenderConfig, b_pad: int):
@@ -2315,11 +2360,15 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
         # unscramble gather.
         ctb = _unlane(aux[0], D, 3)
         dfr = _unlane(aux[1], D, 4)
-        rad = _combine_deferred(scene, ctb, dfr,
-                                has_noise=static.has_noise if static else True,
-                                has_image=static.has_image if static else True,
-                                pallas_noise=not interpret,
-                                return_factors=phase_out)
+        if static is not None and static.defer_single_hit and not phase_out:
+            rad = _combine_deferred_single(scene, ctb, dfr)
+        else:
+            rad = _combine_deferred(
+                scene, ctb, dfr,
+                has_noise=static.has_noise if static else True,
+                has_image=static.has_image if static else True,
+                pallas_noise=not interpret,
+                return_factors=phase_out)
         if phase_out:
             rad, defer_factors = rad
     if phase_out:

@@ -572,9 +572,24 @@ class _Compiler:
                 ok &= bool(np.all(mtypes == 4) and np.all(ttypes == 0))
             fused_simple = ok
 
+        # Single-deferred-hit eligibility (SceneStatic.defer_single_hit):
+        # one sphere, nothing else, image texture, material that cannot
+        # re-enter the body (lambertian/metal/light — a lambertian or
+        # fuzz-checked metal scatter from a convex surface points outward,
+        # so a path intersects the sphere at most once; dielectrics
+        # refract through and can re-hit).
+        defer_single_hit = False
+        if (has_image and not has_noise and n_spheres == 1
+                and n_rects + n_tris + n_vols == 0):
+            m0 = int(np.asarray(spheres.mat)[0])
+            mt0 = int(np.asarray(materials.mtype)[m0])
+            defer_single_hit = mt0 in (mat_mod.LAMBERTIAN, mat_mod.METAL,
+                                       mat_mod.DIFFUSE_LIGHT)
+
         static = SceneStatic(
             n_spheres=n_spheres, n_rects=n_rects, n_triangles=n_tris,
             n_volumes=n_vols, has_noise=has_noise, has_image=has_image,
+            defer_single_hit=defer_single_hit,
             has_uvdebug=bool(np.any(np.asarray(textures.ttype)
                                     == tex_mod.UVDEBUG)),
             sphere_bvh=sphere_bvh is not None,

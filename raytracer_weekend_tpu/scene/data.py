@@ -145,6 +145,12 @@ class SceneStatic:
     # Any UVDebug texture in the table (gates the fused replay backward,
     # which evaluates solid/checker in-kernel only).
     has_uvdebug: bool = False
+    # Every path can hit at most ONE deferred-texture primitive: a single
+    # convex (sphere) image-textured primitive whose material never sends
+    # rays back inside (not dielectric). The deferred combine then needs
+    # one texel fetch per LANE instead of one per (lane, bounce) — the
+    # earth-class fast path (image fetches were ~92% of earth's frame).
+    defer_single_hit: bool = False
     # Set when a BVH is attached for the family (round-1: brute force only).
     sphere_bvh: bool = False
     triangle_bvh: bool = False

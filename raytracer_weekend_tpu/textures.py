@@ -59,6 +59,7 @@ def texture_value(
     has_image: bool = True,
     bilinear: bool = False,
     pallas_noise: bool = False,
+    live: Array | None = None,
 ) -> Array:
     """Evaluate per-lane texture color -> (B,3).
 
@@ -86,9 +87,14 @@ def texture_value(
         if pallas_noise:
             from raytracer_weekend_tpu.ops.pallas.perlin_turb import (
                 turbulence_pallas)
+            # Liveness mask: lets the kernel skip all-dead point tiles
+            # (`live` marks consumed lanes — deferred records past a
+            # path's death; dead outputs are masked by the callers).
+            nz = ttype == NOISE
+            lv = (nz if live is None else (live & nz)).reshape(-1)
             turb = turbulence_pallas(
                 table.perlin_grad, table.perlin_perm,
-                p.reshape(-1, 3), depth=7).reshape(p.shape[:-1])
+                p.reshape(-1, 3), depth=7, live=lv).reshape(p.shape[:-1])
         else:
             turb = perlin.turbulence(table.perlin_grad, table.perlin_perm,
                                      p, depth=7)

@@ -109,3 +109,21 @@ def test_triangle_kernel_custom_vjp(rng):
     g_pl = np.asarray(jax.grad(loss_pl)(scene.triangles.v0))
     g_ref = np.asarray(jax.grad(loss_ref)(scene.triangles.v0))
     np.testing.assert_allclose(g_pl, g_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_perlin_turbulence_pallas_matches_jnp():
+    """The batched-lookup Pallas turbulence kernel (one perm matmul + one
+    corner-gradient matmul per octave, round 5) must match the jnp
+    reference path bit-close on arbitrary points."""
+    import numpy as np
+    import jax.numpy as jnp
+    from raytracer_weekend_tpu import perlin
+    from raytracer_weekend_tpu.ops.pallas.perlin_turb import turbulence_pallas
+
+    g, pm = perlin.make_perlin_tables(3)
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.normal(size=(5000, 3)).astype(np.float32) * 7)
+    ref = perlin.turbulence(jnp.asarray(g), jnp.asarray(pm), p, 7)
+    got = turbulence_pallas(jnp.asarray(g), jnp.asarray(pm), p, 7,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

@@ -102,6 +102,29 @@ def make_refs(out="/tmp/gradrefs.npz"):
             refs[f"{name}|{p}"] = le
         print(f"refs {name}: {sum(np.abs(l).max() > 0 for l in leaves)} "
               f"live leaves", flush=True)
+
+        # Finite-difference spot check of the reference itself (BASELINE's
+        # "pixel-gradient parity (finite-difference checked)" clause): the
+        # largest-|g| texture color1 component, central difference.
+        if name in ("jumpy_balls", "cornell_box"):
+            c1 = np.asarray(scene.textures.color1)
+            gref = refs[f"{name}|textures/color1"]
+            flat = int(np.abs(gref).argmax())
+            i, c = divmod(flat, 3)
+            eps = 1e-3
+
+            def loss_at(val):
+                sc = scene._replace(textures=scene.textures._replace(
+                    color1=scene.textures.color1.at[i, c].set(val)))
+                return float(loss(sc))
+
+            fd = (loss_at(c1[i, c] + eps) - loss_at(c1[i, c] - eps)) / (
+                2 * eps)
+            ad = float(gref[i, c])
+            refs[f"{name}|__fd__"] = np.asarray(
+                [fd, ad, abs(fd - ad) / max(abs(ad), 1e-6)])
+            print(f"  fd check color1[{i},{c}]: fd={fd:.5g} ad={ad:.5g}",
+                  flush=True)
     np.savez(out, **refs)
     print(f"wrote {out}", flush=True)
 
@@ -139,6 +162,13 @@ def compare(refs_path="/tmp/gradrefs.npz",
         # their own near-zero norms.
         gscale = max(float(np.abs(refs[f"{name}|{p}"]).max())
                      for p in paths)
+        fd_key = f"{name}|__fd__"
+        rows_fd = None
+        if fd_key in refs:
+            fd, ad, rel = (float(x) for x in refs[fd_key])
+            rows_fd = {"fd": fd, "autodiff": ad, "rel": rel,
+                       "pass": bool(rel < 5e-2)}
+            ok = rows_fd["pass"]
         for p, got in zip(paths, leaves):
             ref = refs[f"{name}|{p}"]
             if ref.size == 0:
@@ -174,6 +204,7 @@ def compare(refs_path="/tmp/gradrefs.npz",
             "pass": bool(ok),
             "kernel_bwd": bool(static.n_volumes == 0
                                and not static.has_uvdebug),
+            "fd_check": rows_fd,
             "leaves": rows,
         }
         all_ok &= ok
