@@ -173,10 +173,12 @@ def _make_diff(static: SceneStatic, cfg: RenderConfig, n_chunk: int,
                     dfr2 = jnp.concatenate([abc, dfr[..., 3:4]], axis=-1)
                     if static.defer_single_hit:
                         return _combine_deferred_single(sc, ctb_, dfr2)
+                    # pallas_noise: the turbulence custom-VJP kernel pair
+                    # (interpret mode keeps the jnp path — XLA autodiff).
                     return _combine_deferred(
                         sc, ctb_, dfr2, has_noise=static.has_noise,
-                        has_image=static.has_image, pallas_noise=False,
-                        remat=True)
+                        has_image=static.has_image,
+                        pallas_noise=not interpret, remat=True)
 
                 _, vjp_c = jax.vjp(combine_f, float_leaves, ctb,
                                    abc_live)

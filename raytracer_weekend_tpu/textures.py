@@ -86,15 +86,20 @@ def texture_value(
     if has_noise:
         if pallas_noise:
             from raytracer_weekend_tpu.ops.pallas.perlin_turb import (
-                turbulence_pallas)
+                turbulence_pallas_diff)
             # Liveness mask: lets the kernel skip all-dead point tiles
             # (`live` marks consumed lanes — deferred records past a
             # path's death; dead outputs are masked by the callers).
+            # The diff wrapper pairs the forward kernel with the
+            # hand-derived VJP kernel, so this path is differentiable
+            # (fused_diff's deferred backward uses it: the XLA
+            # turbulence vjp measured ~2 s per 1M records on v5e).
             nz = ttype == NOISE
             lv = (nz if live is None else (live & nz)).reshape(-1)
-            turb = turbulence_pallas(
+            turb = turbulence_pallas_diff(
                 table.perlin_grad, table.perlin_perm,
-                p.reshape(-1, 3), depth=7, live=lv).reshape(p.shape[:-1])
+                p.reshape(-1, 3), depth=7,
+                live=lv).reshape(p.shape[:-1])
         else:
             turb = perlin.turbulence(table.perlin_grad, table.perlin_perm,
                                      p, depth=7)

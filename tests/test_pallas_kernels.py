@@ -127,3 +127,40 @@ def test_perlin_turbulence_pallas_matches_jnp():
     got = turbulence_pallas(jnp.asarray(g), jnp.asarray(pm), p, 7,
                             interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_perlin_turbulence_vjp_kernel_matches_autodiff():
+    """The hand-derived turbulence VJP kernel (round 5) must match
+    jax.vjp of the jnp turbulence for both d(gradient-table) and d(p)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from raytracer_weekend_tpu import perlin
+    from raytracer_weekend_tpu.ops.pallas.perlin_turb import (
+        turbulence_pallas_diff, turbulence_vjp_pallas)
+
+    g, pm = perlin.make_perlin_tables(3)
+    g, pm = jnp.asarray(g), jnp.asarray(pm)
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.normal(size=(3000, 3)).astype(np.float32) * 7)
+    ct = jnp.asarray(rng.normal(size=(3000,)).astype(np.float32))
+
+    ref_out, vjp = jax.vjp(lambda g_, p_: perlin.turbulence(g_, pm, p_, 7),
+                           g, p)
+    dg_ref, dp_ref = vjp(ct)
+    dg, dp = turbulence_vjp_pallas(g, pm, p, ct, 7, interpret=True)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dg), np.asarray(dg_ref),
+                               atol=1e-5)
+
+    out2, vjp2 = jax.vjp(
+        lambda g_, p_: turbulence_pallas_diff(g_, pm, p_, 7,
+                                              interpret=True), g, p)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref_out),
+                               atol=1e-5)
+    dg2, dp2 = vjp2(ct)
+    np.testing.assert_allclose(np.asarray(dg2), np.asarray(dg_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dp2), np.asarray(dp_ref),
+                               atol=1e-5)
