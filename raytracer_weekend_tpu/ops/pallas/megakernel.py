@@ -234,6 +234,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
             primary_clist: bool = False, p_k: int = 0,
             pp_k: int = 0, d0: int = 0, phase_in: bool = False,
             phase_out: bool = False, p_ovf: bool = False,
+            pp_ovf: bool = False, sec_clist: bool = False,
             p_stream: bool = False):
     f = jnp.float32
     L = tile_b // 8  # per-ray state is (8, L): full VPU sublane utilization
@@ -281,16 +282,38 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
             # cond's taken branch DMAs the slab into this VMEM scratch.
             (pd_s_ref, po_s_ref, pg_s_ref,
              sem_pd, sem_po, sem_pg) = refs[-6:]
+        if sec_clist:
+            # (8, n_chunks) SMEM scratch: per-row compacted chunk-id
+            # lists for the condless secondary walk (mutually exclusive
+            # with p_stream — host gate).
+            clist_ref = refs[-1]
         if pp_k:
-            # Peeled-primary per-tile planar tables (raw single-chunk
+            # Peeled-primary per-tile planar tables (K-split single-chunk
             # layout, width pp_k): bounce 0 intersects only THIS tile's
             # frustum-compacted rect/triangle set.
             ptab_pd_ref, ptab_po_ref, ptab_pg_ref = refs[i_ref:i_ref + 3]
             i_ref += 3
-        if primary_clist and r_pad // r_chunk > 1:
+            if pp_ovf:
+                # (1,1,1) SMEM flag: this tile's frustum set overflowed
+                # pp_k columns — bounce 0 additionally walks its full
+                # chunk list (trip count 0 for in-budget tiles).
+                povfp_ref = refs[i_ref]
+                i_ref += 1
+        if sec_clist:
+            # (C, 8) VMEM twin of the SMEM chunk AABBs: secondary bounces
+            # compute all per-row chunk cull flags in one vectorized
+            # (C, L) pass and walk a compacted SMEM chunk list with a
+            # condless dynamic-trip fori (round 6; see the walk below).
+            vabv_ref = refs[i_ref]
+            i_ref += 1
+        if (primary_clist and r_pad // r_chunk > 1
+                and (not sec_clist or pp_ovf)):
             # (1, n_chunks) SMEM row for THIS tile: [count, chunk ids...] —
-            # the chunks (excluding the always-processed chunk 0) whose
-            # AABB overlaps the tile's primary-ray frustum (host prepass).
+            # the chunks (excluding the always-processed chunk 0, UNLESS
+            # pp_ovf: the peeled primary has no static chunk-0 walk, so
+            # overflow lists include it) whose AABB overlaps the tile's
+            # primary-ray frustum (host prepass). Unused when the
+            # in-kernel compacted walk (sec_clist) covers every bounce.
             ctab_ref = refs[i_ref]
             i_ref += 1
     if n_vol:
@@ -689,35 +712,39 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                 ls = [lo for _, _, lo in sp]
                 return hs + ms + ls + hs + ms + ls + hs + ms
 
-            if pk:
-                fd_rows = [jnp.concatenate(
+            # The peeled primary bounce runs K-split DEFAULT tables even in
+            # chunked-mesh scenes (the peel block is single-chunk-shaped),
+            # so both feature layouts may be needed in one instantiation.
+            need_ks = pk or (primary and pp_k > 0)
+            if need_ks:
+                fd_ks = [jnp.concatenate(
                     _krows([_split(v[s:s + 1]) for v in (dx, dy, dz)]),
                     axis=0) for s in range(8)]                   # (24, L)
-                fo_rows = [jnp.concatenate(
+                fo_ks = [jnp.concatenate(
                     _krows([_split(v[s:s + 1])
                             for v in (ox, oy, oz, one_f)]),
                     axis=0) for s in range(8)]                   # (32, L)
-            else:
-                fd_rows = [jnp.concatenate([dx[s:s + 1], dy[s:s + 1],
-                                            dz[s:s + 1]], axis=0)
-                           for s in range(8)]
-                fo_rows = [jnp.concatenate([ox[s:s + 1], oy[s:s + 1],
-                                            oz[s:s + 1], one_f[s:s + 1]],
-                                           axis=0)
-                           for s in range(8)]
+            if not pk:
+                fd_raw = [jnp.concatenate([dx[s:s + 1], dy[s:s + 1],
+                                           dz[s:s + 1]], axis=0)
+                          for s in range(8)]
+                fo_raw = [jnp.concatenate([ox[s:s + 1], oy[s:s + 1],
+                                           oz[s:s + 1], one_f[s:s + 1]],
+                                          axis=0)
+                          for s in range(8)]
 
             def planar_chunk(pd8, po8, pg, s, rc=rc, pk=pk):
                 # pd8 (8|24, 3rc); po8 (8|32, 4rc) — K-split when pk.
                 if pk:
-                    md = jax.lax.dot_general(pd8[0:24], fd_rows[s], dn,
+                    md = jax.lax.dot_general(pd8[0:24], fd_ks[s], dn,
                                              preferred_element_type=f)
-                    mo = jax.lax.dot_general(po8[0:32], fo_rows[s], dn,
+                    mo = jax.lax.dot_general(po8[0:32], fo_ks[s], dn,
                                              preferred_element_type=f)
                 else:
-                    md = jax.lax.dot_general(pd8[0:3], fd_rows[s], dn,
+                    md = jax.lax.dot_general(pd8[0:3], fd_raw[s], dn,
                                              precision=_PREC,
                                              preferred_element_type=f)
-                    mo = jax.lax.dot_general(po8[0:4], fo_rows[s], dn,
+                    mo = jax.lax.dot_general(po8[0:4], fo_raw[s], dn,
                                              precision=_PREC,
                                              preferred_element_type=f)
                 df = md[0:rc]
@@ -847,15 +874,76 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
             peel_planar = primary and pp_k > 0
             for s in ([] if p_stream else range(8)):
                 if peel_planar:
-                    # Peeled bounce 0: ONE raw-precision chunk over the
-                    # tile's frustum-compacted planar set (pp_k wide) —
-                    # no chunk walk, no cull branches. HIGHEST matmuls,
-                    # so results match the full chunked walk bitwise on
-                    # exact backends (same products, same winner select).
-                    best = planar_chunk(ptab_pd_ref[0:8, :],
-                                        ptab_po_ref[0:8, :],
+                    # Peeled bounce 0: ONE K-split DEFAULT-precision chunk
+                    # over the tile's frustum-compacted planar set (pp_k
+                    # wide) — no chunk walk, no cull branches, no
+                    # serialized per-chunk matmul latency (the round-6 cow
+                    # profile: the chunked walk costs ~2K cycles per fori
+                    # iteration, latency- not work-bound). The ~5% of
+                    # tiles whose frustum set overflows pp_k columns rerun
+                    # the full chunked walk below (trip count 0 for
+                    # everyone else); the winner select is a max, so
+                    # re-scoring the peeled prims is idempotent.
+                    best = planar_chunk(ptab_pd_ref[0:24, :],
+                                        ptab_po_ref[0:32, :],
                                         ptab_pg_ref[0:2 * PG_ROWS, :], s,
-                                        rc=pp_k, pk=False)
+                                        rc=pp_k, pk=True)
+                    if pp_ovf:
+                        ivx = 1.0 / dx[s:s + 1]
+                        ivy = 1.0 / dy[s:s + 1]
+                        ivz = 1.0 / dz[s:s + 1]
+                        oxr = ox[s:s + 1]
+                        oyr = oy[s:s + 1]
+                        ozr = oz[s:s + 1]
+                        alive_r = alive_m[s:s + 1]
+
+                        def ovf_body(cK, carry, s=s, ivx=ivx, ivy=ivy,
+                                     ivz=ivz, oxr=oxr, oyr=oyr, ozr=ozr,
+                                     alive_r=alive_r):
+                            btrn, bp, bu, bv = carry
+                            # Overflow ctab lists INCLUDE chunk 0 (no
+                            # static chunk-0 walk in the peeled primary).
+                            cI = ctab_ref[0, 0, 1 + cK]
+
+                            def row_heavy(carry):
+                                btrn, bp, bu, bv = carry
+                                trn, p_c, u_c, v_c = planar_chunk(
+                                    tab_pd_ref[pl.ds(cI * 8, 8), :],
+                                    tab_po_ref[pl.ds(cI * 8, 8), :],
+                                    tab_pg_ref[pl.ds(cI * 2 * PG_ROWS,
+                                                     2 * PG_ROWS), :],
+                                    s, pk=False)
+                                b = jnp.where(trn > btrn, f(1.0), f(0.0))
+                                nb = 1.0 - b
+                                return (jnp.maximum(trn, btrn),
+                                        bp * nb + p_c * b,
+                                        bu * nb + u_c * b,
+                                        bv * nb + v_c * b)
+
+                            bx0 = (vab_ref[cI, 0] - oxr) * ivx
+                            bx1 = (vab_ref[cI, 3] - oxr) * ivx
+                            by0 = (vab_ref[cI, 1] - oyr) * ivy
+                            by1 = (vab_ref[cI, 4] - oyr) * ivy
+                            bz0 = (vab_ref[cI, 2] - ozr) * ivz
+                            bz1 = (vab_ref[cI, 5] - ozr) * ivz
+                            en = jnp.maximum(
+                                jnp.maximum(jnp.minimum(bx0, bx1),
+                                            jnp.minimum(by0, by1)),
+                                jnp.minimum(bz0, bz1))
+                            ex = jnp.minimum(
+                                jnp.maximum(bx0, bx1),
+                                jnp.minimum(jnp.maximum(by0, by1),
+                                            jnp.maximum(bz0, bz1)))
+                            may = ((en <= ex) & (ex >= f(t_min))
+                                   & (alive_r > 0.0) & (en < -btrn))
+                            mayf = jnp.where(may, f(1.0), f(0.0))
+                            return jax.lax.cond(jnp.max(mayf) > 0.0,
+                                                row_heavy, lambda c: c,
+                                                carry)
+
+                        trip = jnp.where(povfp_ref[0, 0, 0] > 0,
+                                         ctab_ref[0, 0, 0], jnp.int32(0))
+                        best = jax.lax.fori_loop(0, trip, ovf_body, best)
                     tr_rows.append(best[0])
                     paramr_list.append(best[1])
                     uw_rows.append(best[2])
@@ -870,7 +958,70 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                 # code size is O(1) in scene size (static unrolling of
                 # c >= ~5 chunk bodies crashes the compile helper —
                 # tools/perf_r2{d,e}.py).
-                if n_chunks > 1 and "nogather" not in ablate:
+                if sec_clist and n_chunks > 1 and "nogather" not in ablate:
+                    # Compacted condless chunk walk (round 6): the cond-
+                    # based walk costs ~2K cycles per fori iteration on
+                    # v5e (tiny-K HIGHEST matmuls + cond sync serialize;
+                    # cow d1-nogather walks all 46 chunks in 531 ms).
+                    # Instead: (1) one vectorized (C-1, L) slab test
+                    # computes every chunk's per-row cull flag straight-
+                    # line (pipelined); (2) flagged chunk ids compact into
+                    # an SMEM list via dynamic scalar stores; (3) a fori
+                    # with trip count = list length walks ONLY those
+                    # chunks, no cond in the body. Dead rows get trip 0.
+                    ivx = 1.0 / dx[s:s + 1]
+                    ivy = 1.0 / dy[s:s + 1]
+                    ivz = 1.0 / dz[s:s + 1]
+                    oxr = ox[s:s + 1]
+                    oyr = oy[s:s + 1]
+                    ozr = oz[s:s + 1]
+                    alive_r = alive_m[s:s + 1]
+                    Cm1 = n_chunks - 1
+
+                    def vcol(j, n=Cm1):
+                        return vabv_ref[pl.ds(1, n), j:j + 1]  # (C-1, 1)
+
+                    bx0 = (vcol(0) - oxr) * ivx               # (C-1, L)
+                    bx1 = (vcol(3) - oxr) * ivx
+                    by0 = (vcol(1) - oyr) * ivy
+                    by1 = (vcol(4) - oyr) * ivy
+                    bz0 = (vcol(2) - ozr) * ivz
+                    bz1 = (vcol(5) - ozr) * ivz
+                    en = jnp.maximum(jnp.maximum(jnp.minimum(bx0, bx1),
+                                                 jnp.minimum(by0, by1)),
+                                     jnp.minimum(bz0, bz1))
+                    ex = jnp.minimum(jnp.minimum(jnp.maximum(bx0, bx1),
+                                                 jnp.maximum(by0, by1)),
+                                     jnp.maximum(bz0, bz1))
+                    may = ((en <= ex) & (ex >= f(t_min))
+                           & (alive_r > 0.0) & (en < -best[0]))
+                    mayf = jnp.where(may, f(1.0), f(0.0))
+                    cnt = jnp.int32(0)
+                    for c in range(Cm1):
+                        fl = jnp.max(mayf[c:c + 1, :]) > 0.0
+                        idx = jnp.where(fl, cnt, jnp.int32(n_chunks - 1))
+                        clist_ref[s, idx] = jnp.int32(c + 1)
+                        cnt = cnt + jnp.where(fl, jnp.int32(1),
+                                              jnp.int32(0))
+
+                    def cl_body(cK, carry, s=s):
+                        btrn, bp, bu, bv = carry
+                        cI = clist_ref[s, cK]
+                        trn, p_c, u_c, v_c = planar_chunk(
+                            tab_pd_ref[pl.ds(cI * 8, 8), :],
+                            tab_po_ref[pl.ds(cI * 8, 8), :],
+                            tab_pg_ref[pl.ds(cI * 2 * PG_ROWS,
+                                             2 * PG_ROWS), :],
+                            s)
+                        b = jnp.where(trn > btrn, f(1.0), f(0.0))
+                        nb = 1.0 - b
+                        return (jnp.maximum(trn, btrn),
+                                bp * nb + p_c * b,
+                                bu * nb + u_c * b,
+                                bv * nb + v_c * b)
+
+                    best = jax.lax.fori_loop(0, cnt, cl_body, best)
+                elif n_chunks > 1 and "nogather" not in ablate:
                     # Per-chunk AABB cull (the megakernel's take on
                     # bvh.rs:101-120): Morton-ordered chunks are spatially
                     # compact, so a ~20-op (1, L) slab test on this row's
@@ -1360,7 +1511,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
         pth_ref[:, :] = jnp.zeros(pth_ref.shape, f)
 
     st0 = bounce_state()
-    if p_k:
+    if p_k or pp_k:
         # Statically peel bounce 0: primaries ride the per-tile compacted
         # tables; the while loop then covers bounces 1+ on full tables.
         # (i == 0 comparisons inside this instantiation constant-fold.)
@@ -2022,7 +2173,7 @@ def _derive_sizes(cfg: RenderConfig, S: int, n_planar: int,
                                     "defer_tex", "emit_paths",
                                     "emit_deferred", "p_k",
                                     "pp_k", "d0", "phase_in",
-                                    "phase_out", "p_ovf"))
+                                    "phase_out", "p_ovf", "pp_ovf"))
 def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  lane_start, n_chunk: int, seed,
                  interpret: bool = False,
@@ -2040,7 +2191,8 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  pp_k: int = 0,
                  state_in=None, rid_in=None, d0: int = 0,
                  phase_in: bool = False, phase_out: bool = False,
-                 ptab_ovf=None, p_ovf: bool = False):
+                 ptab_ovf=None, p_ovf: bool = False,
+                 ptab_povf=None, pp_ovf: bool = False):
     """Render lanes [lane_start, lane_start + n_chunk) fully fused.
 
     Returns (radiance (n_chunk, 3) f32, segments (n_chunk,) int32) — per-lane
@@ -2181,6 +2333,18 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
     if (p_k or pp_k) and (not block_tiling or n_sch > 1):
         raise ValueError("peeled-primary tables require block tiling and "
                          "unchunked spheres")
+    if pp_ovf and ("noclist" in ablate or p_stream):
+        raise ValueError("planar peel overflow needs the primary chunk "
+                         "lists (noclist/p_stream excluded)")
+    # Condless compacted secondary chunk walk (round 6): per-row chunk
+    # cull flags vectorized into one (C-1, L) slab test, flagged ids
+    # compacted into SMEM, walked by a dynamic-trip fori with no cond in
+    # the body. Replaces the serialized cond-per-chunk walk (~2K cycles
+    # per fori iteration on v5e) everywhere the tables are VMEM-resident.
+    sec_clist = (has_planar and n_chunks_st > 1 and not p_stream
+                 and "noseccl" not in ablate
+                 and "nogather" not in ablate
+                 and "nocull" not in ablate)
     if block_tiling:
         # The permutation depends only on static shape config, so build it
         # in numpy at trace time — it enters the graph as a constant, and
@@ -2252,9 +2416,12 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                      + 0.5 * cam.vertical)
         focus_d = jnp.maximum(jnp.linalg.norm(vp_center - cam.origin), 1e-6)
 
-        def _mk_ctab(ab_arr):
-            # (C, 8) chunk AABBs -> (T, 1, C) SMEM [count, chunk ids...]
-            # per tile (chunk 0 excluded — always walked).
+        def _mk_ctab(ab_arr, include0=False):
+            # (C, 8) chunk AABBs -> (T, 1, C[+1]) SMEM [count, chunk
+            # ids...] per tile (chunk 0 excluded — always walked
+            # statically — unless include0: the peeled-primary overflow
+            # walk has no static chunk-0 pass, so its lists cover all
+            # overlapping chunks).
             lo_c = ab_arr[:, 0:3]                    # (C, 3)
             hi_c = ab_arr[:, 3:6]
             far_sq = sum(
@@ -2279,17 +2446,27 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                           + 1e-6)                    # (T, C)
                 okp = (maxdot >= -margin) | (nn < 1e-12)[:, None]
                 ov = okp if ov is None else (ov & okp)
-            ov = ov[:, 1:]                           # chunk 0 always runs
-            order = jnp.argsort(jnp.where(ov, 0, 1).astype(jnp.int32),
-                                axis=1, stable=True)
+            off = 0 if include0 else 1
+            ov = ov[:, off:]
+            # Front-to-back order (by nearest-AABB-corner distance from the
+            # camera): the walk's `en < tcur` test then occlusion-prunes
+            # back chunks once front hits land.
+            near_sq = sum(
+                jnp.maximum(jnp.maximum(lo_c[:, j] - cam.origin[j],
+                                        cam.origin[j] - hi_c[:, j]),
+                            0.0) ** 2
+                for j in range(3))[off:]             # (C-off,)
+            key = jnp.where(ov, near_sq[None, :], jnp.inf)
+            order = jnp.argsort(key, axis=1)
             return jnp.concatenate(
                 [jnp.sum(ov, axis=1, dtype=jnp.int32)[:, None],
-                 (order + 1).astype(jnp.int32)], axis=1)[:, None, :]
+                 (order + off).astype(jnp.int32)], axis=1)[:, None, :]
             # (T, 1, n_ch): SMEM blocks need the last two dims to equal
             # the array dims, so the tile axis leads.
 
-        ctab = (_mk_ctab(vab_arr)
-                if n_chunks_st > 1 and primary_clist else None)
+        ctab = (_mk_ctab(vab_arr, include0=pp_ovf)
+                if (n_chunks_st > 1 and primary_clist
+                    and (not sec_clist or pp_ovf)) else None)
         ctab_s = _mk_ctab(svab_arr) if n_sch > 1 else None
 
     kernel = functools.partial(
@@ -2301,6 +2478,7 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
         defer_tex=defer_tex, emit_paths=emit_paths,
         primary_clist=primary_clist, p_k=p_k, pp_k=pp_k,
         d0=d0, phase_in=phase_in, phase_out=phase_out, p_ovf=p_ovf,
+        pp_ovf=pp_ovf, sec_clist=sec_clist,
         p_stream=p_stream)
 
     D = cfg.max_depth
@@ -2393,15 +2571,29 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
     if has_planar:
         fpos += 4                                    # pd, po, pg, vab
         if pp_k:
-            ins.append((fpos, _vm_spec(8, 3 * pp_k), ptab_pd,
+            ins.append((fpos, _vm_spec(24, 3 * pp_k), ptab_pd,
                         _col_sl(3 * pp_k)))
-            ins.append((fpos + 1, _vm_spec(8, 4 * pp_k), ptab_po,
+            ins.append((fpos + 1, _vm_spec(32, 4 * pp_k), ptab_po,
                         _col_sl(4 * pp_k)))
             ins.append((fpos + 2, _vm_spec(2 * PG_ROWS, pp_k), ptab_pg,
                         _col_sl(pp_k)))
             fpos += 3
-        if primary_clist and n_chunks_st > 1:
-            ins.append((fpos, _ct_spec(n_chunks_st), ctab, _tile_sl))
+            if pp_ovf:
+                ins.append((fpos, _ct_spec(1), ptab_povf, _tile_sl))
+                fpos += 1
+        if sec_clist:
+            # VMEM twin of the SMEM chunk AABBs for the vectorized
+            # secondary cull flags (same array, not tile-indexed).
+            ins.append((fpos,
+                        pl.BlockSpec((n_chunks_st, 8), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                        vab_arr, lambda a, g0, gk: a))
+            fpos += 1
+        if (primary_clist and n_chunks_st > 1
+                and (not sec_clist or pp_ovf)):
+            ins.append((fpos,
+                        _ct_spec(n_chunks_st + (1 if pp_ovf else 0)),
+                        ctab, _tile_sl))
             fpos += 1
     ins.sort(key=lambda t: t[0])
 
@@ -2437,7 +2629,9 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  pltpu.VMEM((2 * PG_ROWS, r_chunk), jnp.float32),
                  pltpu.SemaphoreType.DMA,
                  pltpu.SemaphoreType.DMA,
-                 pltpu.SemaphoreType.DMA] if p_stream else []),
+                 pltpu.SemaphoreType.DMA] if p_stream else
+                ([pltpu.SMEM((8, n_chunks_st), jnp.int32)]
+                 if sec_clist else [])),
             cost_estimate=pl.CostEstimate(
                 flops=cfg.max_depth * (gk * tile_b) * (s_pad + r_pad) * 40,
                 bytes_accessed=(4 * gk * tile_b * 4) + P_ROWS * s_pad * 4,
@@ -2550,12 +2744,14 @@ def _gather_peel_tables(scene: SceneData, idx, s_pad: int):
                                              "with_tris"))
 def _gather_peel_planar(scene: SceneData, idx, r_pad: int,
                         with_rects: bool, with_tris: bool):
-    """Per-tile planar tables from the raw (non-K-split) single-chunk
-    layout: pd (8, 3*r_pad) blocks [n|ua|ub], po (8, 4*r_pad)
+    """Per-tile planar tables in the K-split single-chunk layout:
+    pd (24, 3*r_pad) blocks [n|ua|ub], po (32, 4*r_pad)
     [num|u0|v0|flag], pg (2PG, r_pad). Gathers columns per block into
-    (8, T*3K) / (8, T*4K) / (2PG, T*K) tile-major layouts."""
+    (24, T*3K) / (32, T*4K) / (2PG, T*K) tile-major layouts, so the
+    peeled primary bounce runs ONE DEFAULT-precision pass instead of
+    the chunked walk's 6-pass HIGHEST matmuls."""
     pd, po, pg = _build_planar_tables(scene, r_pad, with_rects, with_tris,
-                                      r_chunk=r_pad, ksplit_off=True)
+                                      r_chunk=r_pad)
     T, K = idx.shape
     flat = idx.reshape(-1)
 
@@ -2614,13 +2810,9 @@ def _peel_primary_tables(scene: SceneData, static: SceneStatic,
     tile_b, b_pad, n_tiles = sz["tile_b"], sz["b_pad"], sz["n_tiles"]
     r_pad, r_chunk = sz["r_pad"], sz["r_chunk"]
     planar_peel = (has_planar and r_chunk and r_pad // r_chunk > 1
-                   and r_pad > n_planar and r_pad <= 32768)
-    if sphere_peel and planar_peel:
-        # book2-class scenes (big sphere cluster + chunked planar +
-        # volumes) already run near the 16 MB VMEM limit; adding either
-        # family's per-tile peel tables fails to compile on v5e
-        # (compile-helper HTTP 500, r4). Peel only single-family scenes.
-        sphere_peel = planar_peel = False
+                   and r_pad > n_planar and r_pad <= 32768
+                   and n_planar <= 18432          # p_stream takes over
+                   and os.environ.get("RTW_P_STREAM") != "1")
     if not sphere_peel and not planar_peel:
         return None
 
@@ -2681,17 +2873,23 @@ def _peel_primary_tables(scene: SceneData, static: SceneStatic,
             ov = okp if ov is None else (ov & okp)
         return ov & valid[None, :]
 
-    def lists(ov, pad_idx, cap, allow_overflow=False):
+    def lists(ov, pad_idx, cap, allow_overflow=False, ovf_ks=(128,)):
         counts = ov.sum(1)
         K = int(_round_up(max(int(counts.max()), 1), 128))
         ovf = None
-        if allow_overflow and K > 128 and (counts > 128).mean() <= 0.05:
+        if allow_overflow and K > ovf_ks[0]:
             # K is set by outlier tiles (jumpy: 1/704 tiles at 130 vs a
-            # median of 5): clamp to 128 and flag the outliers — the
-            # kernel falls back to the full table for flagged tiles via
-            # one cond around the peeled block.
-            K = 128
-            ovf = (counts > 128).astype(np.int32).reshape(n_tiles, 1, 1)
+            # median of 5; cow: p95 = 200 of 5856): clamp to the smallest
+            # candidate K covering >= 95% of tiles and flag the outliers —
+            # flagged tiles fall back to the full table (spheres: one cond
+            # around the peeled block; planar: chunk-list walk with trip
+            # count 0 for in-budget tiles).
+            for kk in ovf_ks:
+                if kk < K and (counts > kk).mean() <= 0.05:
+                    K = kk
+                    ovf = ((counts > kk).astype(np.int32)
+                           .reshape(n_tiles, 1, 1))
+                    break
         # Peel only when the compacted set is materially smaller than the
         # full table (otherwise the peel instance just duplicates code
         # and VMEM: book2's sphere cluster spans most tile frusta, and
@@ -2753,11 +2951,32 @@ def _peel_primary_tables(scene: SceneData, static: SceneStatic,
         lo = np.concatenate(los, axis=0)
         hi = np.concatenate(his, axis=0)
         valid = np.concatenate(vals, axis=0)
-        idx, K, _ = lists(overlap(lo, hi, valid), r_pad - 1, r_pad)
+        if out:
+            # Both families eligible (book2-class): the dual per-tile peel
+            # tables pushed the kernel over the v5e VMEM budget in r4 —
+            # keep the sphere peel only. (Scenes whose SPHERE peel is
+            # rejected by lists() — e.g. a cluster spanning most frusta —
+            # still get the planar peel.)
+            idx = None
+        else:
+            # VMEM cap on the per-tile peel block (24*3K + 32*4K + 2PG*K
+            # f32): ~1.2 MB at K=1024 blew the 16 MB scoped limit for
+            # sphere+planar scenes at small test shapes (few tiles see
+            # everything). 512 when the resident sphere tables are small
+            # (cow carries 1 utility sphere); 128 alongside big ones
+            # (book2's 1152-wide cluster planes).
+            cap_k = 512 if _round_up(max(S, 128), 128) <= 384 else 128
+            idx, K, povf = lists(overlap(lo, hi, valid), r_pad - 1, r_pad,
+                                 allow_overflow=True,
+                                 ovf_ks=(128, 256, 384, 512))
+            if idx is not None and K > cap_k:
+                idx = None
         if idx is not None:
             ppd, ppo, ppg = _gather_peel_planar(scene, jnp.asarray(idx),
                                                 r_pad, wr, wt)
             out.update(ptab_pd=ppd, ptab_po=ppo, ptab_pg=ppg, pp_k=K)
+            if povf is not None:
+                out.update(ptab_povf=jnp.asarray(povf), pp_ovf=True)
     if not out:
         out = None
     # Strong refs to the source arrays pin their ids while cached (an
