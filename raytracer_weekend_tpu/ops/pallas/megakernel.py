@@ -235,6 +235,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
             pp_k: int = 0, d0: int = 0, phase_in: bool = False,
             phase_out: bool = False, p_ovf: bool = False,
             pp_ovf: bool = False, sec_clist: bool = False,
+            s_sec: bool = False, chunk_ks: bool = False,
             p_stream: bool = False):
     f = jnp.float32
     L = tile_b // 8  # per-ray state is (8, L): full VPU sublane utilization
@@ -270,7 +271,12 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
         if n_sch > 1:
             svab_ref = refs[i_ref]     # (c, 8) SMEM sphere-chunk AABBs
             i_ref += 1
-            if primary_clist:
+            if s_sec:
+                # VMEM twin of the chunk AABBs for the vectorized
+                # compacted-walk cull flags (round 6).
+                svabv_ref = refs[i_ref]
+                i_ref += 1
+            elif primary_clist:
                 ctab_s_ref = refs[i_ref]
                 i_ref += 1
     if has_planar:
@@ -282,11 +288,16 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
             # cond's taken branch DMAs the slab into this VMEM scratch.
             (pd_s_ref, po_s_ref, pg_s_ref,
              sem_pd, sem_po, sem_pg) = refs[-6:]
+        n_scr = (1 if sec_clist else 0) + (1 if s_sec else 0)
         if sec_clist:
             # (8, n_chunks) SMEM scratch: per-row compacted chunk-id
             # lists for the condless secondary walk (mutually exclusive
             # with p_stream — host gate).
-            clist_ref = refs[-1]
+            clist_ref = refs[-n_scr]
+        if s_sec:
+            # (1, n_sch) SMEM scratch: tile-level compacted sphere-chunk
+            # list.
+            slist_ref = refs[-1]
         if pp_k:
             # Peeled-primary per-tile planar tables (K-split single-chunk
             # layout, width pp_k): bounce 0 intersects only THIS tile's
@@ -610,77 +621,141 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
             param_rows = list(flat[1::2])
 
         if has_sph and n_sch > 1 and not (primary and p_k):
-            # Chunked sphere walk (round 4): Morton-ordered sphere chunks
-            # in ONE tile-level fori_loop with all 8 sublane rows per
-            # iteration and a single chunk-level cull cond. (The first
-            # attempt ran 8 per-row fori_loops, each with its own cond —
-            # 32 small serialized iterations per bounce; measured 37M vs
-            # 89M unchunked on jumpy. One big-body fori keeps Mosaic's
-            # pipelining; cull resolution drops to the tile, which the
-            # bounce-0 frustum chunk list compensates for where it
-            # matters most.) Chunk 0 is walked statically above (its
-            # outputs give the carries their concrete layouts).
+            # Chunked sphere walk. Chunk 0 is walked statically above
+            # (its outputs give the carries their concrete layouts).
             sivx = 1.0 / dx                               # (8, L)
             sivy = 1.0 / dy
             sivz = 1.0 / dz
 
-            def s_chunk_body(cK, carry):
-                if primary_clist:
-                    cI = jnp.where(i == 0, ctab_s_ref[0, 0, 1 + cK],
-                                   cK + 1)
-                else:
-                    cI = cK
-
-                def s_heavy(carry):
-                    tns, ps = carry
-                    ti = tab_int_ref[pl.ds(cI * 144, 144), :]
-                    tg = tab_ref[pl.ds(cI * 2 * P_ROWS, 2 * P_ROWS), :]
-                    new_tn, new_p = [], []
-                    for s in range(8):
-                        trn, p_c = sph_fns[s](ti, tg)
-                        if "nogather" in ablate:
-                            new_tn.append(jnp.maximum(trn, tns[s]))
-                            continue
-                        b = jnp.where(trn > tns[s], f(1.0), f(0.0))
-                        # Exact select (not a lerp) — see the planar
-                        # walk's winner-blend comment.
+            def s_heavy_at(cI, carry):
+                tns, ps = carry
+                ti = tab_int_ref[pl.ds(cI * 144, 144), :]
+                tg = tab_ref[pl.ds(cI * 2 * P_ROWS, 2 * P_ROWS), :]
+                new_tn, new_p = [], []
+                for s in range(8):
+                    trn, p_c = sph_fns[s](ti, tg)
+                    if "nogather" in ablate:
                         new_tn.append(jnp.maximum(trn, tns[s]))
-                        new_p.append(ps[s] * (1.0 - b) + p_c * b)
-                    return tuple(new_tn), tuple(new_p)
-
-                if "nocull" in ablate:
-                    return s_heavy(carry)
-                bx0 = (svab_ref[cI, 0] - ox) * sivx       # (8, L)
-                bx1 = (svab_ref[cI, 3] - ox) * sivx
-                by0 = (svab_ref[cI, 1] - oy) * sivy
-                by1 = (svab_ref[cI, 4] - oy) * sivy
-                bz0 = (svab_ref[cI, 2] - oz) * sivz
-                bz1 = (svab_ref[cI, 5] - oz) * sivz
-                en = jnp.maximum(jnp.maximum(jnp.minimum(bx0, bx1),
-                                             jnp.minimum(by0, by1)),
-                                 jnp.minimum(bz0, bz1))
-                ex = jnp.minimum(jnp.minimum(jnp.maximum(bx0, bx1),
-                                             jnp.maximum(by0, by1)),
-                                 jnp.maximum(bz0, bz1))
-                # Chunk matters only for a live lane whose ray crosses
-                # the box past t_min and before its current best
-                # (p = -t*a domain: t = -btn/a).
-                btn8 = jnp.concatenate(carry[0], axis=0)  # (8, L)
-                tcur = jnp.where(btn8 > f(-1.0e37), -btn8 / a, f(_BIG))
-                may = ((en <= ex) & (ex >= f(t_min))
-                       & (alive_m > 0.0) & (en < tcur))
-                mayf = jnp.where(may, f(1.0), f(0.0))
-                return jax.lax.cond(jnp.max(mayf) > 0.0, s_heavy,
-                                    lambda c: c, carry)
+                        continue
+                    b = jnp.where(trn > tns[s], f(1.0), f(0.0))
+                    # Exact select (not a lerp) — see the planar
+                    # walk's winner-blend comment.
+                    new_tn.append(jnp.maximum(trn, tns[s]))
+                    new_p.append(ps[s] * (1.0 - b) + p_c * b)
+                return tuple(new_tn), tuple(new_p)
 
             carry0 = (tuple(tn_rows), tuple(param_rows))
-            if primary_clist:
-                s_count = jnp.where(i == 0, ctab_s_ref[0, 0, 0],
-                                    jnp.int32(n_sch - 1))
-                carry = jax.lax.fori_loop(0, s_count, s_chunk_body,
-                                          carry0)
+            if s_sec:
+                # Compacted condless sphere-chunk walk (round 6; same
+                # scheme as the planar sec_clist walk below): vectorized
+                # per-row cull flags OR-ed across rows into a tile-level
+                # compacted SMEM chunk list, walked by a dynamic-trip
+                # fori with no cond in the body. book2's 1006-sphere
+                # cluster is spatially compact (Morton chunks), so rays
+                # not crossing it skip all 8 of its 128-wide chunks.
+                btn8 = jnp.concatenate(tn_rows, axis=0)   # (8, L)
+                tcur = jnp.where(btn8 > f(-1.0e37), -btn8 / a, f(_BIG))
+                Cs = n_sch - 1
+                scnt = jnp.int32(0)
+                flags = []
+                for s in range(8):
+                    def scol(j, n=Cs):
+                        return svabv_ref[pl.ds(1, n), j:j + 1]
+
+                    bx0 = (scol(0) - ox[s:s + 1]) * sivx[s:s + 1]
+                    bx1 = (scol(3) - ox[s:s + 1]) * sivx[s:s + 1]
+                    by0 = (scol(1) - oy[s:s + 1]) * sivy[s:s + 1]
+                    by1 = (scol(4) - oy[s:s + 1]) * sivy[s:s + 1]
+                    bz0 = (scol(2) - oz[s:s + 1]) * sivz[s:s + 1]
+                    bz1 = (scol(5) - oz[s:s + 1]) * sivz[s:s + 1]
+                    en = jnp.maximum(jnp.maximum(jnp.minimum(bx0, bx1),
+                                                 jnp.minimum(by0, by1)),
+                                     jnp.minimum(bz0, bz1))
+                    ex = jnp.minimum(jnp.minimum(jnp.maximum(bx0, bx1),
+                                                 jnp.maximum(by0, by1)),
+                                     jnp.maximum(bz0, bz1))
+                    may = ((en <= ex) & (ex >= f(t_min))
+                           & (alive_m[s:s + 1] > 0.0)
+                           & (en < tcur[s:s + 1]))
+                    flags.append(jnp.where(may, f(1.0), f(0.0)))
+                mayf_t = flags[0]
+                for s in range(1, 8):
+                    mayf_t = jnp.maximum(mayf_t, flags[s])  # (Cs, L)
+                # U-way unrolled walk: U chunks per fori iteration divides
+                # the per-iteration pipeline-drain cost (book2 measured
+                # ~350K cycles per tile-bounce across ~27 serialized
+                # 1-chunk iterations). Pad slots are pre-filled with chunk
+                # id 0 — already processed statically, and the strict->
+                # winner select makes re-scoring a chunk an exact no-op.
+                SU = 2 if Cs >= 4 else 1
+                WS = _round_up(Cs, SU) + SU
+                for c in range(WS):
+                    slist_ref[0, c] = jnp.int32(0)
+                for c in range(Cs):
+                    fl = jnp.max(mayf_t[c:c + 1, :]) > 0.0
+                    idx = jnp.where(fl, scnt, jnp.int32(WS - 1))
+                    slist_ref[0, idx] = jnp.int32(c + 1)
+                    scnt = scnt + jnp.where(fl, jnp.int32(1),
+                                            jnp.int32(0))
+
+                def s_cl_body(cK, carry):
+                    for u in range(SU):
+                        carry = s_heavy_at(slist_ref[0, cK * SU + u],
+                                           carry)
+                    return carry
+
+                carry = jax.lax.fori_loop(0, (scnt + SU - 1) // SU,
+                                          s_cl_body, carry0)
             else:
-                carry = jax.lax.fori_loop(1, n_sch, s_chunk_body, carry0)
+                # Cond-based walk (round 4): ONE tile-level fori with all
+                # 8 sublane rows per iteration and a single chunk-level
+                # cull cond. (8 per-row fori_loops with their own conds
+                # measured 37M vs 89M unchunked on jumpy — lax control
+                # flow serializes what Mosaic pipelines straight-line.)
+                def s_chunk_body(cK, carry):
+                    if primary_clist:
+                        cI = jnp.where(i == 0, ctab_s_ref[0, 0, 1 + cK],
+                                       cK + 1)
+                    else:
+                        cI = cK
+
+                    def s_heavy(carry):
+                        return s_heavy_at(cI, carry)
+
+                    if "nocull" in ablate:
+                        return s_heavy(carry)
+                    bx0 = (svab_ref[cI, 0] - ox) * sivx       # (8, L)
+                    bx1 = (svab_ref[cI, 3] - ox) * sivx
+                    by0 = (svab_ref[cI, 1] - oy) * sivy
+                    by1 = (svab_ref[cI, 4] - oy) * sivy
+                    bz0 = (svab_ref[cI, 2] - oz) * sivz
+                    bz1 = (svab_ref[cI, 5] - oz) * sivz
+                    en = jnp.maximum(jnp.maximum(jnp.minimum(bx0, bx1),
+                                                 jnp.minimum(by0, by1)),
+                                     jnp.minimum(bz0, bz1))
+                    ex = jnp.minimum(jnp.minimum(jnp.maximum(bx0, bx1),
+                                                 jnp.maximum(by0, by1)),
+                                     jnp.maximum(bz0, bz1))
+                    # Chunk matters only for a live lane whose ray crosses
+                    # the box past t_min and before its current best
+                    # (p = -t*a domain: t = -btn/a).
+                    btn8 = jnp.concatenate(carry[0], axis=0)  # (8, L)
+                    tcur = jnp.where(btn8 > f(-1.0e37), -btn8 / a,
+                                     f(_BIG))
+                    may = ((en <= ex) & (ex >= f(t_min))
+                           & (alive_m > 0.0) & (en < tcur))
+                    mayf = jnp.where(may, f(1.0), f(0.0))
+                    return jax.lax.cond(jnp.max(mayf) > 0.0, s_heavy,
+                                        lambda c: c, carry)
+
+                if primary_clist:
+                    s_count = jnp.where(i == 0, ctab_s_ref[0, 0, 0],
+                                        jnp.int32(n_sch - 1))
+                    carry = jax.lax.fori_loop(0, s_count, s_chunk_body,
+                                              carry0)
+                else:
+                    carry = jax.lax.fori_loop(1, n_sch, s_chunk_body,
+                                              carry0)
             tn_rows = list(carry[0])
             param_rows = list(carry[1])
 
@@ -715,7 +790,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
             # The peeled primary bounce runs K-split DEFAULT tables even in
             # chunked-mesh scenes (the peel block is single-chunk-shaped),
             # so both feature layouts may be needed in one instantiation.
-            need_ks = pk or (primary and pp_k > 0)
+            need_ks = pk or chunk_ks or (primary and pp_k > 0)
             if need_ks:
                 fd_ks = [jnp.concatenate(
                     _krows([_split(v[s:s + 1]) for v in (dx, dy, dz)]),
@@ -724,7 +799,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                     _krows([_split(v[s:s + 1])
                             for v in (ox, oy, oz, one_f)]),
                     axis=0) for s in range(8)]                   # (32, L)
-            if not pk:
+            if not pk and (not chunk_ks or p_stream):
                 fd_raw = [jnp.concatenate([dx[s:s + 1], dy[s:s + 1],
                                            dz[s:s + 1]], axis=0)
                           for s in range(8)]
@@ -733,7 +808,7 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                                           axis=0)
                           for s in range(8)]
 
-            def planar_chunk(pd8, po8, pg, s, rc=rc, pk=pk):
+            def planar_chunk(pd8, po8, pg, s, rc=rc, pk=pk or chunk_ks):
                 # pd8 (8|24, 3rc); po8 (8|32, 4rc) — K-split when pk.
                 if pk:
                     md = jax.lax.dot_general(pd8[0:24], fd_ks[s], dn,
@@ -869,8 +944,10 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                 return btrn8, list(bps), bu8, bv8
 
             tr_rows, paramr_list, uw_rows, vw_rows = [], [], [], []
-            pd_rows0 = 24 if pk else 8
-            po_rows0 = 32 if pk else 8
+            pd_rows0 = 24 if (pk or chunk_ks) else 8
+            po_rows0 = 32 if (pk or chunk_ks) else 8
+            cprow = 24 if chunk_ks else 8
+            cporow = 32 if chunk_ks else 8
             peel_planar = primary and pp_k > 0
             for s in ([] if p_stream else range(8)):
                 if peel_planar:
@@ -908,11 +985,12 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                             def row_heavy(carry):
                                 btrn, bp, bu, bv = carry
                                 trn, p_c, u_c, v_c = planar_chunk(
-                                    tab_pd_ref[pl.ds(cI * 8, 8), :],
-                                    tab_po_ref[pl.ds(cI * 8, 8), :],
+                                    tab_pd_ref[pl.ds(cI * cprow, cprow), :],
+                                    tab_po_ref[pl.ds(cI * cporow,
+                                                     cporow), :],
                                     tab_pg_ref[pl.ds(cI * 2 * PG_ROWS,
                                                      2 * PG_ROWS), :],
-                                    s, pk=False)
+                                    s)
                                 b = jnp.where(trn > btrn, f(1.0), f(0.0))
                                 nb = 1.0 - b
                                 return (jnp.maximum(trn, btrn),
@@ -996,20 +1074,26 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                     may = ((en <= ex) & (ex >= f(t_min))
                            & (alive_r > 0.0) & (en < -best[0]))
                     mayf = jnp.where(may, f(1.0), f(0.0))
+                    # U-way unrolled walk (see the sphere walk comment):
+                    # pad slots pre-filled with chunk 0 — its re-score is
+                    # an exact no-op under the strict-> winner select.
+                    PU = 4 if Cm1 >= 8 else 1
+                    WP = _round_up(Cm1, PU) + PU
                     cnt = jnp.int32(0)
+                    for c in range(WP):
+                        clist_ref[s, c] = jnp.int32(0)
                     for c in range(Cm1):
                         fl = jnp.max(mayf[c:c + 1, :]) > 0.0
-                        idx = jnp.where(fl, cnt, jnp.int32(n_chunks - 1))
+                        idx = jnp.where(fl, cnt, jnp.int32(WP - 1))
                         clist_ref[s, idx] = jnp.int32(c + 1)
                         cnt = cnt + jnp.where(fl, jnp.int32(1),
                                               jnp.int32(0))
 
-                    def cl_body(cK, carry, s=s):
+                    def cl_one(cI, carry, s=s):
                         btrn, bp, bu, bv = carry
-                        cI = clist_ref[s, cK]
                         trn, p_c, u_c, v_c = planar_chunk(
-                            tab_pd_ref[pl.ds(cI * 8, 8), :],
-                            tab_po_ref[pl.ds(cI * 8, 8), :],
+                            tab_pd_ref[pl.ds(cI * cprow, cprow), :],
+                            tab_po_ref[pl.ds(cI * cporow, cporow), :],
                             tab_pg_ref[pl.ds(cI * 2 * PG_ROWS,
                                              2 * PG_ROWS), :],
                             s)
@@ -1020,7 +1104,14 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                                 bu * nb + u_c * b,
                                 bv * nb + v_c * b)
 
-                    best = jax.lax.fori_loop(0, cnt, cl_body, best)
+                    def cl_body(cK, carry, s=s):
+                        for u in range(PU):
+                            carry = cl_one(clist_ref[s, cK * PU + u],
+                                           carry)
+                        return carry
+
+                    best = jax.lax.fori_loop(0, (cnt + PU - 1) // PU,
+                                             cl_body, best)
                 elif n_chunks > 1 and "nogather" not in ablate:
                     # Per-chunk AABB cull (the megakernel's take on
                     # bvh.rs:101-120): Morton-ordered chunks are spatially
@@ -1052,8 +1143,8 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                         def row_heavy(carry):
                             btrn, bp, bu, bv = carry
                             trn, p_c, u_c, v_c = planar_chunk(
-                                tab_pd_ref[pl.ds(cI * 8, 8), :],
-                                tab_po_ref[pl.ds(cI * 8, 8), :],
+                                tab_pd_ref[pl.ds(cI * cprow, cprow), :],
+                                tab_po_ref[pl.ds(cI * cporow, cporow), :],
                                 tab_pg_ref[pl.ds(cI * 2 * PG_ROWS,
                                                  2 * PG_ROWS), :],
                                 s)
@@ -1108,8 +1199,8 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
                 elif n_chunks > 1:  # timing-ablation path: t-only carry
                     def chunk_body_t(cI, btrn, s=s):
                         trn, _, _, _ = planar_chunk(
-                            tab_pd_ref[pl.ds(cI * 8, 8), :],
-                            tab_po_ref[pl.ds(cI * 8, 8), :],
+                            tab_pd_ref[pl.ds(cI * cprow, cprow), :],
+                            tab_po_ref[pl.ds(cI * cporow, cporow), :],
                             tab_pg_ref[pl.ds(cI * 2 * PG_ROWS,
                                              2 * PG_ROWS), :], s)
                         return jnp.maximum(trn, btrn)
@@ -1671,7 +1762,8 @@ def _sphere_chunk_aabbs(scene: SceneData, s_pad: int,
 def _build_planar_tables(scene: SceneData, r_pad: int,
                          with_rects: bool, with_tris: bool,
                          r_chunk: int | None = None,
-                         ksplit_off: bool = False):
+                         ksplit_off: bool = False,
+                         ksplit_chunks: bool = False):
     """(tab_pd (c*8, 3*rc), tab_po (c*8, 4*rc), tab_pg (c*2*PG_ROWS, rc))
     with c = r_pad // r_chunk chunks, each chunk's block in its own
     sublane row group.
@@ -1776,8 +1868,12 @@ def _build_planar_tables(scene: SceneData, r_pad: int,
     rc = r_chunk or r_pad
     c = r_pad // rc
     # Single-chunk scenes take the K-split planar matmuls; ksplit_off
-    # forces the raw layout (peeled-primary per-tile tables run HIGHEST).
-    ksplit = c == 1 and not ksplit_off
+    # forces the raw layout. ksplit_chunks (round 6) extends the K-split
+    # to chunked tables — one DEFAULT pass per chunk instead of 6-pass
+    # HIGHEST tiny-K matmuls, which dominated chunk-walk cost (~2.5K
+    # cycles per chunk-row on v5e; book2's ~18 taken planar chunks x 8
+    # rows = ~360K cycles per tile-bounce).
+    ksplit = (c == 1 or ksplit_chunks) and not ksplit_off
 
     def _tks(t):
         # Table side of the 8-block K-split: [Th Th Th Tm Tm Tm Tl Tl]
@@ -2115,13 +2211,13 @@ def _derive_sizes(cfg: RenderConfig, S: int, n_planar: int,
         if env_sc is not None:
             s_chunk = int(env_sc)
         else:
-            # Default OFF: measured on v5e (jumpy, r4), every chunk-walk
-            # variant loses to the unrolled full-table path — per-row
-            # foris 37M, one tile-level fori 59M, vs 89M unchunked; the
-            # lax control flow serializes what Mosaic otherwise pipelines
-            # straight-line. Kept behind s_chunk_override/RTW_S_CHUNK for
-            # experiments.
-            s_chunk = 0
+            # Default ON above 1024 columns (book2-class clusters), where
+            # the round-6 compacted condless walk (s_sec) skips whole
+            # 128-wide chunks for rays that miss the cluster's AABBs.
+            # Below that, every chunk-walk variant measured loses to the
+            # unrolled full-table path on v5e (jumpy, r4: per-row foris
+            # 37M, one tile-level cond fori 59M, vs 89M unchunked).
+            s_chunk = 128 if s_pad >= 1024 else 0
     if s_chunk:
         s_pad = _round_up(s_pad, s_chunk)
     n_sch = (s_pad // s_chunk) if s_chunk else 1
@@ -2243,6 +2339,7 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                      or os.environ.get("RTW_P_STREAM") == "1"))
 
     tabs, tab_specs = [], []
+    chunk_ks = False
     if has_sph:
         tab_full, tab_int = _build_table(
             scene, s_pad, s_chunk if n_sch > 1 else None)
@@ -2257,15 +2354,27 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
             svab_arr = _sphere_chunk_aabbs(scene, s_pad, s_chunk)
             tabs.append(svab_arr)
             tab_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            if ("noseccl" not in ablate and "nogather" not in ablate
+                    and "nocull" not in ablate):
+                # VMEM twin for the compacted-walk flags (s_sec).
+                tabs.append(svab_arr)
+                tab_specs.append(
+                    pl.BlockSpec((n_sch, 8), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))
     if has_planar:
-        tab_pd, tab_po, tab_pg = _build_planar_tables(
-            scene, r_pad, with_rects, with_tris, r_chunk)
         n_ch = r_pad // r_chunk
+        # K-split chunk tables: 3.5x the pd/po VMEM for 1-pass DEFAULT
+        # matmuls; gated by r_pad so suspension-class meshes (17k prims,
+        # ~14 MB of K-split tables) keep the HIGHEST layout.
+        chunk_ks = n_ch > 1 and r_pad <= 8192 and not p_stream
+        tab_pd, tab_po, tab_pg = _build_planar_tables(
+            scene, r_pad, with_rects, with_tris, r_chunk,
+            ksplit_chunks=chunk_ks)
         vab_arr = _planar_chunk_aabbs(scene, r_pad, r_chunk,
                                       with_rects, with_tris)
         tabs += [tab_pd, tab_po, tab_pg, vab_arr]
-        pd_rows = 24 if n_ch == 1 else n_ch * 8
-        po_rows = 32 if n_ch == 1 else n_ch * 8
+        pd_rows = 24 if n_ch == 1 else n_ch * (24 if chunk_ks else 8)
+        po_rows = 32 if n_ch == 1 else n_ch * (32 if chunk_ks else 8)
         if p_stream:
             # Tables stay in HBM; the kernel DMAs one chunk's slabs into
             # VMEM scratch inside the cull cond (see _stream_walk).
@@ -2330,9 +2439,10 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                     and "notile" not in ablate
                     and not phase_in
                     and n_chunk == cfg.n_rays)
-    if (p_k or pp_k) and (not block_tiling or n_sch > 1):
-        raise ValueError("peeled-primary tables require block tiling and "
-                         "unchunked spheres")
+    if (p_k or pp_k) and not block_tiling:
+        raise ValueError("peeled-primary tables require block tiling")
+    if p_k and n_sch > 1:
+        raise ValueError("sphere peel requires unchunked spheres")
     if pp_ovf and ("noclist" in ablate or p_stream):
         raise ValueError("planar peel overflow needs the primary chunk "
                          "lists (noclist/p_stream excluded)")
@@ -2345,6 +2455,10 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  and "noseccl" not in ablate
                  and "nogather" not in ablate
                  and "nocull" not in ablate)
+    s_sec = (has_sph and n_sch > 1
+             and "noseccl" not in ablate
+             and "nogather" not in ablate
+             and "nocull" not in ablate)
     if block_tiling:
         # The permutation depends only on static shape config, so build it
         # in numpy at trace time — it enters the graph as a constant, and
@@ -2467,7 +2581,8 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
         ctab = (_mk_ctab(vab_arr, include0=pp_ovf)
                 if (n_chunks_st > 1 and primary_clist
                     and (not sec_clist or pp_ovf)) else None)
-        ctab_s = _mk_ctab(svab_arr) if n_sch > 1 else None
+        ctab_s = (_mk_ctab(svab_arr)
+                  if n_sch > 1 and not s_sec else None)
 
     kernel = functools.partial(
         _kernel, width=cfg.width, height=cfg.height,
@@ -2478,8 +2593,8 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
         defer_tex=defer_tex, emit_paths=emit_paths,
         primary_clist=primary_clist, p_k=p_k, pp_k=pp_k,
         d0=d0, phase_in=phase_in, phase_out=phase_out, p_ovf=p_ovf,
-        pp_ovf=pp_ovf, sec_clist=sec_clist,
-        p_stream=p_stream)
+        pp_ovf=pp_ovf, sec_clist=sec_clist, s_sec=s_sec,
+        chunk_ks=chunk_ks, p_stream=p_stream)
 
     D = cfg.max_depth
     out_specs = [
@@ -2565,7 +2680,9 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                 fpos += 1
         if n_sch > 1:
             fpos += 1                                # svab
-            if primary_clist:
+            if s_sec:
+                fpos += 1                            # svabv (in tabs)
+            elif primary_clist:
                 ins.append((fpos, _ct_spec(n_sch), ctab_s, _tile_sl))
                 fpos += 1
     if has_planar:
@@ -2630,8 +2747,10 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  pltpu.SemaphoreType.DMA,
                  pltpu.SemaphoreType.DMA,
                  pltpu.SemaphoreType.DMA] if p_stream else
-                ([pltpu.SMEM((8, n_chunks_st), jnp.int32)]
-                 if sec_clist else [])),
+                (([pltpu.SMEM((8, n_chunks_st + 8), jnp.int32)]
+                  if sec_clist else [])
+                 + ([pltpu.SMEM((1, n_sch + 8), jnp.int32)]
+                    if s_sec else []))),
             cost_estimate=pl.CostEstimate(
                 flops=cfg.max_depth * (gk * tile_b) * (s_pad + r_pad) * 40,
                 bytes_accessed=(4 * gk * tile_b * 4) + P_ROWS * s_pad * 4,
@@ -2799,7 +2918,9 @@ def _peel_primary_tables(scene: SceneData, static: SceneStatic,
                 + (scene.triangles.mat.shape[0] if wt else 0))
 
     s_pad_ov = None
-    sphere_peel = has_sph and 384 <= _round_up(max(S, 128), 128) <= 4096
+    # Upper bound 960: at >= 1024 columns the core defaults to the
+    # chunked compacted sphere walk (s_sec), which excludes the peel.
+    sphere_peel = has_sph and 384 <= _round_up(max(S, 128), 128) <= 960
     if sphere_peel:
         s_pad_ov = _round_up(max(S, 128), 128)
         if s_pad_ov <= S:
