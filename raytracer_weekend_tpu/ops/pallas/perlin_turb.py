@@ -38,36 +38,48 @@ def _kernel(flags_ref, pts_ref, permf_ref, gradt_ref, out_ref, *,
             depth: int):
     f = jnp.float32
 
-    # Per-tile liveness skip: deferred-texture record batches are mostly
-    # dead past bounce ~2 (code 0); an all-dead tile writes zeros and
-    # skips the 7-octave loop entirely.
-    flag = flags_ref[0, pl.program_id(0)]
-
-    @pl.when(flag == 0)
-    def _dead():
-        out_ref[:, :] = jnp.zeros(out_ref.shape, f)
-
-    @pl.when(flag > 0)
-    def _live():
-        _kernel_body(pts_ref, permf_ref, gradt_ref, out_ref, depth)
-
-
-def _kernel_body(pts_ref, permf_ref, gradt_ref, out_ref, depth: int):
-    f = jnp.float32
-    iota6 = jax.lax.broadcasted_iota(jnp.int32, (_PC, 6 * _L), 0)
-    iota8 = jax.lax.broadcasted_iota(jnp.int32, (_PC, 8 * _L), 0)
-
-    dn = (((1,), (0,)), ((), ()))             # contract the 256 axis
-
-    def lookup(row, oh):                      # (r, 256) x (256, n) -> (r, n)
-        # DEFAULT (single bf16 pass): perm values are ints < 256 (exact in
-        # bf16); gradient components ride the [hi; lo] split table below,
-        # reconstructing f32 to ~2^-17. HIGHEST here cost 6 passes per
-        # lookup and dropped two_perlin_spheres 16.3 -> 3.5M seg/s.
-        return jax.lax.dot_general(row, oh, dn,
-                                   preferred_element_type=f)
-
+    # Liveness skip at ROW granularity (round 6; was per-tile): deferred-
+    # texture record batches are mostly dead past bounce ~2 (code 0); a
+    # dead 128-record row keeps its zero output and skips its 7-octave
+    # loop. Eight straight-line pl.whens — the one-cond-per-body compile
+    # constraint applies to loop bodies, not unrolled code.
+    out_ref[:, :] = jnp.zeros(out_ref.shape, f)
+    pid = pl.program_id(0)
     for s in range(8):
+        @pl.when(flags_ref[pid, s] > 0)
+        def _live(s=s):
+            _kernel_row(pts_ref, permf_ref, gradt_ref, out_ref, depth, s)
+
+
+def _kernel_row(pts_ref, permf_ref, gradt_ref, out_ref, depth: int,
+                s: int):
+    f = jnp.float32
+    iota16_6 = jax.lax.broadcasted_iota(jnp.int32, (16, 6 * _L), 0)
+    iota16_8 = jax.lax.broadcasted_iota(jnp.int32, (16, 8 * _L), 0)
+
+    dn = (((1,), (0,)), ((), ()))             # contract the hi-nibble axis
+
+    def lookup16(tab16, idx, iota16, nblk):
+        # Two-level 16x16 table lookup (round 6): one-hot masks over the
+        # hi/lo nibbles cost 16 rows each instead of 256 — the one-hot
+        # MATERIALIZATION (~1 elem/cycle VPU) was the measured bound at
+        # 21 ns/pt, not the matmul dispatch. tab16 is (16*R, 16) with
+        # row 16r+l holding T_r[h*16+l]; M = tab16 @ hi_oh gives
+        # M[16r+l, n] = T_r[16*hi_n + l], and the lo mask selects
+        # T_r[16*hi_n + lo_n] — every step picks exact table entries
+        # (one nonzero product per sum), so results are bit-identical
+        # to the 256-wide one-hot path.
+        hi = jax.lax.shift_right_logical(idx, 4)
+        lo = idx & 15
+        oh_hi = jnp.where(iota16 == hi, f(1.0), f(0.0))   # (16, nblk*L)
+        oh_lo = jnp.where(iota16 == lo, f(1.0), f(0.0))
+        M = jax.lax.dot_general(tab16, oh_hi, dn,
+                                preferred_element_type=f)  # (16R, nblk*L)
+        R = tab16.shape[0] // 16
+        return [jnp.sum(oh_lo * M[16 * r:16 * r + 16, :], axis=0,
+                        keepdims=True) for r in range(R)]
+
+    if True:
         x = pts_ref[s:s + 1, :]
         y = pts_ref[8 + s:9 + s, :]
         z = pts_ref[16 + s:17 + s, :]
@@ -82,27 +94,24 @@ def _kernel_body(pts_ref, permf_ref, gradt_ref, out_ref, depth: int):
                 bi = pf.astype(jnp.int32)
                 i0s.append(bi & (_PC - 1))
                 i1s.append((bi + 1) & (_PC - 1))
-            # ONE (3, 256) x (256, 6L) matmul for all six perm lookups
-            # (M=1 lookups are MXU-issue-bound; lane-axis batching was the
-            # round-5 lever that cut the per-point cost).
+            # ONE (48, 16) x (16, 6L) matmul for all six perm lookups.
             idx6 = jnp.concatenate(
                 [i0s[0], i1s[0], i0s[1], i1s[1], i0s[2], i1s[2]], axis=1)
-            oh6 = jnp.where(iota6 == idx6, f(1.0), f(0.0))
-            pres = lookup(permf_ref[0:3, :], oh6)         # (3, 6L)
-            px0 = pres[0:1, 0 * _L:1 * _L].astype(jnp.int32)
-            px1 = pres[0:1, 1 * _L:2 * _L].astype(jnp.int32)
-            py0 = pres[1:2, 2 * _L:3 * _L].astype(jnp.int32)
-            py1 = pres[1:2, 3 * _L:4 * _L].astype(jnp.int32)
-            pz0 = pres[2:3, 4 * _L:5 * _L].astype(jnp.int32)
-            pz1 = pres[2:3, 5 * _L:6 * _L].astype(jnp.int32)
+            pv = lookup16(permf_ref[0:48, :], idx6, iota16_6, 6)
+            px0 = pv[0][0:1, 0 * _L:1 * _L].astype(jnp.int32)
+            px1 = pv[0][0:1, 1 * _L:2 * _L].astype(jnp.int32)
+            py0 = pv[1][0:1, 2 * _L:3 * _L].astype(jnp.int32)
+            py1 = pv[1][0:1, 3 * _L:4 * _L].astype(jnp.int32)
+            pz0 = pv[2][0:1, 4 * _L:5 * _L].astype(jnp.int32)
+            pz1 = pv[2][0:1, 5 * _L:6 * _L].astype(jnp.int32)
             ux = fracs[0] * fracs[0] * (3.0 - 2.0 * fracs[0])  # Hermite
             uy = fracs[1] * fracs[1] * (3.0 - 2.0 * fracs[1])  # (ref quirk:
             uz = fracs[2] * fracs[2] * (3.0 - 2.0 * fracs[2])  # for weights)
 
-            # ONE (8, 256) x (256, 8L) matmul for all eight corner
-            # gradient lookups; corner order matches perlin._CORNERS
-            # (i-major) so the f32 summation order equals the jnp path's
-            # axis=-1 reduce.
+            # ONE (96, 16) x (16, 8L) matmul for all eight corner
+            # gradient lookups (6 used rows: [hi; lo] split components);
+            # corner order matches perlin._CORNERS (i-major) so the f32
+            # summation order equals the jnp path's axis=-1 reduce.
             hs = []
             for i in range(2):
                 for j in range(2):
@@ -111,8 +120,8 @@ def _kernel_body(pts_ref, permf_ref, gradt_ref, out_ref, depth: int):
                                    ^ (py1 if j else py0)
                                    ^ (pz1 if k3 else pz0)) & (_PC - 1))
             idx8 = jnp.concatenate(hs, axis=1)            # (1, 8L)
-            oh8 = jnp.where(iota8 == idx8, f(1.0), f(0.0))
-            g8 = lookup(gradt_ref[0:8, :], oh8)           # (8, 8L)
+            gv = lookup16(gradt_ref[0:96, :], idx8, iota16_8, 8)
+            g8 = jnp.concatenate(gv, axis=0)              # (6, 8L)
             total = accum * 0.0
             ci = 0
             for i in range(2):
@@ -155,24 +164,26 @@ def turbulence_pallas(gradients: Array, perms: Array, p: Array,
     T = n_pad // _TB
     pts = jnp.pad(p.astype(jnp.float32), ((0, n_pad - N), (0, 0)))
     if live is None:
-        flags = jnp.ones((1, T), jnp.int32)
+        flags = jnp.ones((T, 8), jnp.int32)
     else:
         lv = jnp.pad(live.astype(jnp.int32), ((0, n_pad - N),))
-        flags = lv.reshape(T, _TB).max(axis=1).reshape(1, T)
+        flags = lv.reshape(T, 8, _L).max(axis=2)          # per-row flags
     # (N, 3) -> (24, T*L): coordinate-major rows of (8, L) tiles, matching
     # the kernel's point r = s*L + c layout.
     planes = (pts.reshape(T, 8, _L, 3).transpose(3, 1, 0, 2)
               .reshape(24, T * _L))
-    permf = perms.astype(jnp.float32)                     # (3, 256)
+    # 16x16 two-level layout: row 16r+l of the (16R, 16) table holds
+    # T_r[h*16+l] (see _kernel_row.lookup16).
+    permf = (perms.astype(jnp.float32).reshape(3, 16, 16)
+             .transpose(0, 2, 1).reshape(48, 16))
     gt = gradients.astype(jnp.float32).T                  # (3, 256)
     # Bit-mask truncation, not a bf16 cast round-trip: XLA folds the cast
     # pair away on TPU (see megakernel._bf16_trunc).
     gh = jax.lax.bitcast_convert_type(
         jax.lax.bitcast_convert_type(gt, jnp.int32) & jnp.int32(-65536),
         jnp.float32)
-    gradt = jnp.concatenate(
-        [gh, gt - gh, jnp.zeros((2, _PC), jnp.float32)], axis=0)
-    # (8, 256) [hi; lo; pad]: sublane-multiple rows for the VMEM block
+    gradt = (jnp.concatenate([gh, gt - gh], axis=0)       # (6, 256)
+             .reshape(6, 16, 16).transpose(0, 2, 1).reshape(96, 16))
 
     out = pl.pallas_call(
         functools.partial(_kernel, depth=depth),
@@ -181,9 +192,9 @@ def turbulence_pallas(gradients: Array, perms: Array, p: Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((24, _L), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, _PC), lambda i: (0, 0),
+            pl.BlockSpec((48, 16), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, _PC), lambda i: (0, 0),
+            pl.BlockSpec((96, 16), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, _L), lambda i: (0, i),
@@ -379,10 +390,10 @@ def turbulence_vjp_pallas(gradients: Array, perms: Array, p: Array,
     pts = jnp.pad(p.astype(jnp.float32), ((0, n_pad - N), (0, 0)))
     ctp = jnp.pad(ct.astype(jnp.float32), ((0, n_pad - N),))
     if live is None:
-        flags = jnp.ones((1, T), jnp.int32)
+        flags = jnp.ones((T, 8), jnp.int32)
     else:
         lv = jnp.pad(live.astype(jnp.int32), ((0, n_pad - N),))
-        flags = lv.reshape(T, _TB).max(axis=1).reshape(1, T)
+        flags = lv.reshape(T, 8, _L).max(axis=2)          # per-row flags
     planes = (pts.reshape(T, 8, _L, 3).transpose(3, 1, 0, 2)
               .reshape(24, T * _L))
     ct_planes = ctp.reshape(T, 8, _L).transpose(1, 0, 2).reshape(8, T * _L)
