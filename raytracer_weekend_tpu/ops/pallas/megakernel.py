@@ -288,16 +288,11 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
             # cond's taken branch DMAs the slab into this VMEM scratch.
             (pd_s_ref, po_s_ref, pg_s_ref,
              sem_pd, sem_po, sem_pg) = refs[-6:]
-        n_scr = (1 if sec_clist else 0) + (1 if s_sec else 0)
         if sec_clist:
             # (8, n_chunks) SMEM scratch: per-row compacted chunk-id
             # lists for the condless secondary walk (mutually exclusive
             # with p_stream — host gate).
-            clist_ref = refs[-n_scr]
-        if s_sec:
-            # (1, n_sch) SMEM scratch: tile-level compacted sphere-chunk
-            # list.
-            slist_ref = refs[-1]
+            clist_ref = refs[-2 if s_sec else -1]
         if pp_k:
             # Peeled-primary per-tile planar tables (K-split single-chunk
             # layout, width pp_k): bounce 0 intersects only THIS tile's
@@ -327,6 +322,12 @@ def _kernel(par_ref, ipar_ref, colrow_ref, rid_ref, *refs,
             # in-kernel compacted walk (sec_clist) covers every bounce.
             ctab_ref = refs[i_ref]
             i_ref += 1
+    if s_sec:
+        # (1, n_sch) SMEM scratch: tile-level compacted sphere-chunk
+        # list. Unpacked OUTSIDE the has_planar block — sphere-only
+        # scenes chunk too (n_sch > 1 at >= 1024 columns or forced via
+        # RTW_S_CHUNK / s_chunk_override).
+        slist_ref = refs[-1]
     if n_vol:
         vp_ref = refs[i_ref]
         i_ref += 1
@@ -2455,7 +2456,11 @@ def _render_fused_core(scene: SceneData, cfg: RenderConfig, cam: Camera,
                  and "noseccl" not in ablate
                  and "nogather" not in ablate
                  and "nocull" not in ablate)
-    s_sec = (has_sph and n_sch > 1
+    # not p_stream: the streaming scratch branch replaces the SMEM
+    # compacted-list scratch with DMA semaphores, so the condless walk's
+    # refs[-1] would misbind; over-cap planar scenes with >= 1024-column
+    # sphere tables fall back to the cond-based sphere walk instead.
+    s_sec = (has_sph and n_sch > 1 and not p_stream
              and "noseccl" not in ablate
              and "nogather" not in ablate
              and "nocull" not in ablate)

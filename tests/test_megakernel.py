@@ -70,6 +70,35 @@ def test_jumpy_balls_matches_staged_path():
     assert np.abs(got - ref).mean() < 3e-3
 
 
+def test_sphere_only_chunked_walk():
+    """Sphere-only scene with the compacted chunk walk forced.
+
+    Regression: the s_sec SMEM scratch unpack lived inside the
+    has_planar block, so any sphere-only scene reaching n_sch > 1
+    (>= 1024 spheres, or RTW_S_CHUNK / s_chunk_override) crashed with
+    a NameError on slist_ref. The chunk walk only skips work (cull
+    flags gate whole 128-wide chunks), so results must match the
+    unchunked default up to near-tangent winner flips.
+    """
+    cfg = RenderConfig(width=32, height=18, samples_per_pixel=4, max_depth=6,
+                       seed=3, use_pallas=False)
+    objs, cams, bg = jumpy_balls(cfg.aspect_ratio, seed=0)
+    scene, static = B.build_scene(objs, background=bg, seed=cfg.seed)
+    n = cfg.n_rays
+    seed_u = jnp.uint32(cfg.seed)
+    base, bseg = render_fused(scene, cfg, cams[0], 0, n, seed_u,
+                              interpret=True, static=static)
+    got, seg = render_fused(scene, cfg, cams[0], 0, n, seed_u,
+                            interpret=True, static=static,
+                            s_chunk_override=128)
+    assert abs(int(seg.sum()) - int(bseg.sum())) <= max(4, n // 300)
+    rel = np.abs(np.asarray(got) - np.asarray(base)) \
+        / (np.abs(np.asarray(base)) + 1e-3)
+    bad = np.unique(np.argwhere(rel > 0.05)[:, 0])
+    assert len(bad) <= max(4, n // 300)
+    assert np.abs(np.asarray(got) - np.asarray(base)).mean() < 3e-3
+
+
 def test_chunked_equals_whole():
     """lane_start/n_chunk slicing must not change any lane's stream."""
     cfg = RenderConfig(width=16, height=9, samples_per_pixel=4, max_depth=4,
