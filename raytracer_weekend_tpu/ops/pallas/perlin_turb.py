@@ -233,7 +233,16 @@ def _vjp_kernel(flags_ref, pts_ref, ct_ref, permf_ref, gradt_ref,
     def _init():
         dtab_ref[:, :] = jnp.zeros(dtab_ref.shape, f)
 
-    flag = flags_ref[0, pl.program_id(0)]
+    # flags is (T, 8) per-ROW liveness since the forward went
+    # row-granular; this kernel gates at tile level, so OR the tile's
+    # rows. (Regression: reading flags_ref[0, pid] — the old (1, T)
+    # layout — made every tile past the first read tile-0's row flags,
+    # silently zeroing most live tiles' cotangents on real masks; the
+    # all-ones live=None path, which the unit tests used, was blind.)
+    pid = pl.program_id(0)
+    flag = flags_ref[pid, 0]
+    for s in range(1, 8):
+        flag = jnp.maximum(flag, flags_ref[pid, s])
 
     @pl.when(flag == 0)
     def _dead():

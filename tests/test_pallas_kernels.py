@@ -164,3 +164,42 @@ def test_perlin_turbulence_vjp_kernel_matches_autodiff():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(dp2), np.asarray(dp_ref),
                                atol=1e-5)
+
+
+def test_perlin_turbulence_vjp_kernel_live_mask():
+    """VJP kernel with a real liveness mask at T > 8 tiles.
+
+    Regression: when the forward went to per-row (T, 8) flags, the VJP
+    kernel kept reading the old (1, T) layout — flags_ref[0, pid] — so
+    every tile past the first was gated by tile-0's row flags and most
+    live records' cotangents silently vanished (GRADPARITY two_perlin /
+    simple_light failed with d_table == 0). live=None (all-ones) was
+    blind to it; this pins the masked path: kernel(live) must equal
+    jax.vjp of the jnp turbulence with dead records' cotangents zeroed.
+    """
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from raytracer_weekend_tpu import perlin
+    from raytracer_weekend_tpu.ops.pallas.perlin_turb import (
+        turbulence_vjp_pallas)
+
+    g, pm = perlin.make_perlin_tables(3)
+    g, pm = jnp.asarray(g), jnp.asarray(pm)
+    rng = np.random.default_rng(1)
+    n = 12000                                    # 12 tiles of 1024
+    p = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 7)
+    ct = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    live = jnp.asarray((rng.random(n) < 0.3))    # clustered-dead-ish 30%
+
+    _, vjp = jax.vjp(lambda g_, p_: perlin.turbulence(g_, pm, p_, 7),
+                     g, p)
+    dg_ref, dp_ref = vjp(ct * live.astype(jnp.float32))
+    dg, dp = turbulence_vjp_pallas(g, pm, p, ct * live, 7,
+                                   interpret=True, live=live)
+    lv = np.asarray(live)[:, None]
+    np.testing.assert_allclose(np.asarray(dp) * lv,
+                               np.asarray(dp_ref) * lv, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dg), np.asarray(dg_ref),
+                               atol=1e-4)
+    assert float(np.abs(np.asarray(dg)).max()) > 0.0
